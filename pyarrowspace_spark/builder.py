@@ -1,0 +1,160 @@
+"""Public build API mirroring the reference's ArrowSpaceBuilder
+(src/lib.rs:270-300) re-expressed as Spark batch jobs.
+
+`build()` returns an `ArrowSpaceIndex`: the items DataFrame with a
+materialized `lambda` column, the λτ-graph edge list, the broadcastable
+F×F feature Laplacian, and the build config — index artifacts are
+first-class values, exactly like the reference returning
+(ArrowSpace, GraphLaplacian) as a pair.
+
+Lifecycle as a Spark DAG (SURVEY §3.1):
+  stage 1  ingest + validate (narrow)
+  stage 2  kNN candidates (exact cross-join or LSH bucket join; shuffle)
+  stage 3  eps filter → per-node top-k → symmetrize (shuffle on src)
+  stage 4  degree aggregation (shuffle)
+  stage 5  F×F feature Laplacian (distributed partials → driver, F²
+           doubles per partition — independent of N)
+  stage 6  λ column (narrow, broadcast L_F)
+  stage 7  optional Parquet persist ("index tables")
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .params import GraphParams, EnergyParams
+from .operators import knn as knn_ops
+from .operators import lambda_index as lam_ops
+
+
+@dataclass
+class ArrowSpaceIndex:
+    """The (ArrowSpace, GraphLaplacian) pair as Spark-native artifacts."""
+
+    items: DataFrame          # [item_id, features, lambda]
+    edges: DataFrame          # [src, dst, dist, weight]  (src < dst)
+    feature_laplacian: np.ndarray  # F×F, broadcast at query time
+    params: GraphParams
+    tau_synth: float          # Median-synthesized τ used for stored λ
+    n_features: int
+
+    @property
+    def nitems(self) -> int:
+        return self.items.count()
+
+    @property
+    def nfeatures(self) -> int:
+        return self.n_features
+
+    def lambdas(self) -> DataFrame:
+        """λ vector accessor (reference src/lib.rs:117-124)."""
+        return self.items.select("item_id", "lambda")
+
+    def graph_params(self) -> dict:
+        """Self-describing index metadata (reference gl.graph_params,
+        src/lib.rs:49-61)."""
+        return self.params.to_dict()
+
+    def save(self, path: str) -> None:
+        """Persist index tables + config as Parquet."""
+        self.items.write.mode("overwrite").parquet(f"{path}/items")
+        self.edges.write.mode("overwrite").parquet(f"{path}/edges")
+        spark = self.items.sparkSession
+        lf_rows = [
+            (int(i), [float(v) for v in row])
+            for i, row in enumerate(self.feature_laplacian)
+        ]
+        spark.createDataFrame(
+            lf_rows, schema="row_idx long, row array<double>"
+        ).write.mode("overwrite").parquet(f"{path}/feature_laplacian")
+        meta = dict(self.params.to_dict(), tau_synth=self.tau_synth,
+                    n_features=self.n_features)
+        spark.createDataFrame([meta]).write.mode("overwrite").json(f"{path}/meta")
+
+
+class ArrowSpaceBuilder:
+    """Mirror of reference ArrowSpaceBuilder (src/lib.rs:270-300)."""
+
+    @staticmethod
+    def build(
+        items: DataFrame,
+        graph_params: dict | GraphParams,
+        id_col: str = "item_id",
+        feat_col: str = "features",
+        strategy: str = "auto",
+    ) -> ArrowSpaceIndex:
+        params = (
+            graph_params
+            if isinstance(graph_params, GraphParams)
+            else GraphParams.from_dict(graph_params)
+        )
+        # Validate rectangularity once (reference rejects empty/ragged,
+        # src/helpers.rs:24-29). `first` touches one partition only.
+        first = items.select(F.size(feat_col).alias("n")).first()
+        if first is None or first["n"] in (None, 0):
+            raise ValueError("items must be a non-empty DataFrame of non-empty vectors")
+        n_features = int(first["n"])
+
+        base = items.select(
+            F.col(id_col).alias("item_id"), F.col(feat_col).alias("features")
+        )
+        # Edges + λ both traverse base twice — cache across the build.
+        base = base.persist()
+
+        edges = knn_ops.knn_edges(base, params, strategy=strategy).persist()
+        lf = lam_ops.feature_laplacian(base, edges, n_features)
+        tau_synth = lam_ops.median_tau(base, lf)
+        if not (tau_synth > 0.0):
+            # Degenerate spectrum: eps admitted no (or only disconnected)
+            # edges, so every Rayleigh energy is 0. The reference panics
+            # at query time (src/lib.rs:156-159); we fail the build with
+            # actionable stats instead (SURVEY §7.3 risk 7).
+            n_edges = edges.count()
+            raise ValueError(
+                f"degenerate index: median Rayleigh energy is {tau_synth} "
+                f"({n_edges} graph edges at eps={params.eps}). Increase eps "
+                f"(rectified-cosine distances lie in [0,1]) or rescale the "
+                f"input vectors (reference tests use x12/x100)."
+            )
+        indexed = lam_ops.with_lambda(base, lf, tau_synth)
+
+        return ArrowSpaceIndex(
+            items=indexed,
+            edges=edges,
+            feature_laplacian=lf,
+            params=params,
+            tau_synth=tau_synth,
+            n_features=n_features,
+        )
+
+    @staticmethod
+    def build_energy(
+        items: DataFrame,
+        energy_params: dict | EnergyParams | None = None,
+        graph_params: dict | GraphParams | None = None,
+        id_col: str = "item_id",
+        feat_col: str = "features",
+    ):
+        """Energy pipeline (reference src/lib.rs:332-376) — implemented
+        in operators/energy.py; imported lazily to keep the standard
+        path import-light."""
+        from .operators import energy as energy_ops
+
+        eparams = (
+            energy_params
+            if isinstance(energy_params, EnergyParams)
+            else EnergyParams.from_dict(energy_params)
+        )
+        gparams = (
+            graph_params
+            if isinstance(graph_params, GraphParams)
+            else GraphParams.from_dict(graph_params)
+            if graph_params
+            else GraphParams(eps=1e-3, k=6, topk=10)
+        )
+        return energy_ops.build_energy(items, eparams, gparams,
+                                       id_col=id_col, feat_col=feat_col)

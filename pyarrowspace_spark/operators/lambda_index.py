@@ -1,0 +1,193 @@
+"""Spectral index (λ) computation — the distinctive core of the engine.
+
+Math pinned by the reference design docs and the test_0 golden rankings
+(see tests/test_golden_test0.py for the parity record):
+
+- F×F feature Laplacian  L_F = Xᵀ L X  where L = D - W is the item
+  λτ-graph Laplacian ("feature-space Laplacian … built from item graph
+  signals", GRAPH_VARIABLES.md:17, TAUMODE.md:12;
+  GraphFactory::build_spectral_laplacian).
+- e_raw(x)   = xᵀ L_F x        (TAUMODE.md:18,24 — the golden τ=0.9
+  ranking of reference tests/test_0.py:35-42 pins the *unnormalized*
+  quadratic form: the reference's query λ is scale-sensitive).
+- e_bounded  = e/(e+τ)          (TAUMODE.md:19,25)
+- g_raw      = Σ s_ij²,  s_ij = w_ij(x_i-x_j)²/Σ w_uv(x_u-x_v)²,
+  w_ij = max(0, -L_F[i,j])      (TAUMODE.md:26)
+- g_clamped  = clip(g_raw,0,1)  (TAUMODE.md:27)
+- S(x)       = τ·e_bounded + (1-τ)·g_clamped   (TAUMODE.md:8)
+
+Build-time τ uses Median synthesis: τ_synth = median(e_raw) over items
+(reference log "synthesis=Median", tests/output/1760705545_v0_16/
+suggested_eps.md:3).
+
+Scale design: L_F is F×F (384² ≈ 1.2 MB) — tiny. It is aggregated
+DISTRIBUTEDLY from per-partition partials (mapInPandas → driver sum),
+then broadcast back for the per-item λ pass, which is a narrow,
+Arrow-batched vectorized map. No N×N materialization anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def feature_laplacian(
+    items: DataFrame,
+    edges: DataFrame,
+    n_features: int,
+    id_col: str = "item_id",
+    feat_col: str = "features",
+) -> np.ndarray:
+    """Compute L_F = Xᵀ (D - W) X distributedly.
+
+    Decomposition:  L_F = Σ_i deg_i·x_i x_iᵀ  -  Σ_{(i,j)∈E} w_ij·(x_i x_jᵀ + x_j x_iᵀ)
+
+    Each executor accumulates a local F×F partial over its partition of
+    (a) degree-weighted items and (b) edges joined to both endpoint
+    feature vectors; the driver sums the partials. Communication is
+    #partitions × F² doubles — independent of N.
+    """
+    deg = (
+        edges.select(F.col("src").alias(id_col), "weight")
+        .unionAll(edges.select(F.col("dst").alias(id_col), "weight"))
+        .groupBy(id_col)
+        .agg(F.sum("weight").alias("degree"))
+    )
+    feats = items.select(F.col(id_col), F.col(feat_col).alias("_x"))
+    diag_part = feats.join(deg, id_col, "inner").select(
+        F.col("degree").alias("w"), F.col("_x").alias("xa"), F.col("_x").alias("xb")
+    )
+    # Edge part: canonical undirected edges expanded to both
+    # orientations so Σ -w·xa xbᵀ covers (i,j) AND (j,i) — L has -w_ij
+    # in both. Features table joined twice — at scale these are
+    # shuffle-hash joins on the id key.
+    both_dirs = edges.select("src", "dst", "weight").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    fa = feats.select(F.col(id_col).alias("src"), F.col("_x").alias("xa"))
+    fb = feats.select(F.col(id_col).alias("dst"), F.col("_x").alias("xb"))
+    edge_part = (
+        both_dirs.join(fa, "src").join(fb, "dst")
+        .select((-F.col("weight")).alias("w"), "xa", "xb")
+    )
+    combined = diag_part.unionAll(edge_part)
+
+    schema = StructType([StructField("partial", DoubleType(), False)])
+    Fdim = n_features
+
+    def accumulate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros((Fdim, Fdim), dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            w = pdf["w"].to_numpy(dtype=np.float64)
+            xa = np.stack(pdf["xa"].to_numpy())
+            xb = np.stack(pdf["xb"].to_numpy())
+            # Σ w * xa xbᵀ  (+ transpose for the edge part handled below)
+            acc += (xa * w[:, None]).T @ xb
+        yield pd.DataFrame({"partial": acc.ravel()})
+
+    parts = combined.mapInPandas(accumulate, schema=schema).collect()
+    n_parts = len(parts) // (Fdim * Fdim)
+    flat = np.array([r["partial"] for r in parts], dtype=np.float64)
+    mats = flat.reshape(n_parts, Fdim, Fdim)
+    lf = mats.sum(axis=0)
+    # Numerically symmetrize (exact math is symmetric already).
+    return (lf + lf.T) / 2.0
+
+
+def _lambda_kernel(X: np.ndarray, LF: np.ndarray, tau: float,
+                   w_pos: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized e_raw / g_clamped / S for a batch of row vectors."""
+    # e_raw = x^T L_F x, batched: rowwise sum of (X @ LF) * X
+    e_raw = np.einsum("bi,bi->b", X @ LF, X)
+    e_b = e_raw / (e_raw + tau)
+    # Dispersion over feature-graph edges: w_ij = max(0, -LF_ij), i != j
+    if w_pos is None:
+        w_pos = np.maximum(-LF, 0.0)
+        np.fill_diagonal(w_pos, 0.0)
+    ii, jj = np.nonzero(w_pos)
+    w = w_pos[ii, jj]
+    # contributions per item per feature-edge, chunked over edges to
+    # bound memory: B×E doubles per chunk.
+    B = X.shape[0]
+    tot = np.zeros(B)
+    sumsq = np.zeros(B)
+    chunk = max(1, int(4_000_000 / max(B, 1)))
+    for s in range(0, len(w), chunk):
+        e = slice(s, s + chunk)
+        d = (X[:, ii[e]] - X[:, jj[e]]) ** 2 * w[e]
+        tot += d.sum(axis=1)
+        sumsq += (d ** 2).sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        g_raw = np.where(tot > 0, sumsq / (tot * tot), 0.0)
+    g = np.clip(g_raw, 0.0, 1.0)
+    s_val = tau * e_b + (1.0 - tau) * g
+    return e_raw, g, s_val
+
+
+def median_tau(items: DataFrame, lf: np.ndarray,
+               feat_col: str = "features") -> float:
+    """τ_synth = exact median of e_raw over all items (TauMode::Median).
+
+    Exact percentile is a full sort of N doubles — acceptable at test
+    scale; at bench scale the builder can pass `approx=True` through
+    `percentile_approx` with documented tolerance (SURVEY §7.3 #4).
+    """
+    spark = items.sparkSession
+    blf = spark.sparkContext.broadcast(lf)
+
+    @F.pandas_udf(DoubleType())
+    def e_raw_udf(feats: pd.Series) -> pd.Series:
+        X = np.stack(feats.to_numpy())
+        LF = blf.value
+        return pd.Series(np.einsum("bi,bi->b", X @ LF, X))
+
+    med = (
+        items.select(e_raw_udf(F.col(feat_col)).alias("e_raw"))
+        .select(F.expr("percentile(e_raw, 0.5)").alias("m"))
+        .collect()[0]["m"]
+    )
+    return float(med)
+
+
+def with_lambda(
+    items: DataFrame,
+    lf: np.ndarray,
+    tau: float,
+    feat_col: str = "features",
+    out_col: str = "lambda",
+) -> DataFrame:
+    """Append the synthetic index S(x) as `lambda` — a narrow,
+    Arrow-batched pass with the broadcast F×F Laplacian."""
+    spark = items.sparkSession
+    blf = spark.sparkContext.broadcast(lf)
+    t = float(tau)
+
+    @F.pandas_udf(DoubleType())
+    def lam_udf(feats: pd.Series) -> pd.Series:
+        X = np.stack(feats.to_numpy())
+        _, _, s_val = _lambda_kernel(X, blf.value, t)
+        return pd.Series(s_val)
+
+    return items.withColumn(out_col, lam_udf(F.col(feat_col)))
+
+
+def lambda_for_vectors(X: np.ndarray, lf: np.ndarray, tau: float) -> np.ndarray:
+    """Driver-side λ for a small batch of query vectors (λ_q synthesis,
+    reference src/lib.rs:152-154). Raises if any λ is 0 — the reference
+    panics on mis-scaled data (src/lib.rs:156-159); we surface the same
+    guard as an exception."""
+    _, _, s_val = _lambda_kernel(np.asarray(X, dtype=np.float64), lf, float(tau))
+    if np.any(s_val == 0.0):
+        raise ValueError(
+            "query lambda is 0.0 — input vectors are mis-scaled "
+            "(reference panics here; rescale inputs, e.g. ×12)"
+        )
+    return s_val

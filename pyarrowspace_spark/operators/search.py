@@ -1,0 +1,130 @@
+"""λ-aware top-k search (reference ArrowSpace.search, src/lib.rs:132-174).
+
+score(q, x) = τ·cos(q,x) + (1-τ)·1/(1+|λ_q - λ_x|)   (TAUMODE.md:33)
+
+Both λ_q and λ_x are synthesized with the *search-time* τ as bounding
+scale and mixing weight ("τ supplied externally … reused both as the
+bounding scale and as the mixing weight", TAUMODE.md) — pinned by the
+reference golden τ=0.9 ranking (tests/test_0.py:35-42).
+
+Physical plan: the query batch is tiny → broadcast join against the
+corpus; scoring is a JVM column expression; top-k is a per-query
+ranking window (or TakeOrderedAndProject for a single query). One
+shuffle per query batch, on query_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+from .lambda_index import lambda_for_vectors, with_lambda
+
+
+def search(
+    index: DataFrame,
+    lf: np.ndarray,
+    queries: DataFrame | np.ndarray,
+    tau: float,
+    k: int,
+    id_col: str = "item_id",
+    feat_col: str = "features",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k λ-aware search.
+
+    `index` must carry (id_col, feat_col); item λ is recomputed at the
+    search τ (narrow pass). Queries may be a DataFrame[query_id,
+    features] or a local ndarray (promoted to a broadcast DataFrame —
+    the reference promotes single vectors to ArrowItem, src/lib.rs:168).
+
+    Returns DataFrame[query_id, item_id, score, rank], rank 1-based,
+    exactly k rows per query (fewer only if corpus < k).
+    """
+    spark = index.sparkSession
+    if isinstance(queries, np.ndarray):
+        q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+        if q.shape[1] != lf.shape[0]:
+            # Reference validates query length == nfeatures (src/lib.rs:140-146).
+            raise ValueError(
+                f"query has {q.shape[1]} features, index has {lf.shape[0]}"
+            )
+        lam_q = lambda_for_vectors(q, lf, tau)
+        qdf = spark.createDataFrame(
+            [(int(i), [float(v) for v in row], float(l))
+             for i, (row, l) in enumerate(zip(q, lam_q))],
+            schema=f"{query_id_col} long, q_features array<double>, q_lambda double",
+        )
+    else:
+        qdf = with_lambda(queries, lf, tau, feat_col=feat_col, out_col="q_lambda")
+        qdf = qdf.select(
+            F.col(query_id_col), F.col(feat_col).alias("q_features"), "q_lambda"
+        )
+
+    items = with_lambda(index, lf, tau, feat_col=feat_col, out_col="x_lambda")
+
+    scored = items.join(F.broadcast(qdf)).select(
+        query_id_col,
+        id_col,
+        V.blended_score(
+            V.cosine_similarity("q_features", feat_col),
+            F.col("q_lambda"),
+            F.col("x_lambda"),
+            tau,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
+    )
+
+
+def search_hybrid(
+    index: DataFrame,
+    lf: np.ndarray,
+    queries: DataFrame | np.ndarray,
+    tau: float,
+    k: int,
+    **kwargs,
+) -> DataFrame:
+    """Reference `search_hybrid` (src/lib.rs:182-219) — same inputs and
+    blend family as `search`; the crate-internal variant formula is not
+    published (SURVEY §2.11 spec gap), so we pin hybrid == lambda-aware
+    and keep the entry point for API parity."""
+    return search(index, lf, queries, tau, k, **kwargs)
+
+
+def brute_force_cosine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "item_id",
+    feat_col: str = "features",
+    query_id_col: str = "query_id",
+    query_feat_col: str = "features",
+) -> DataFrame:
+    """Exact cosine top-k — the harness baseline (reference
+    tests/test_3_beir.py:280-286 `np.argsort(-sims)[:k]`).
+
+    Broadcast the query side; corpus scan stays partition-parallel.
+    """
+    qdf = queries.select(
+        F.col(query_id_col), F.col(query_feat_col).alias("q_features")
+    )
+    scored = items.join(F.broadcast(qdf)).select(
+        query_id_col,
+        id_col,
+        V.cosine_similarity("q_features", feat_col).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
+    )
