@@ -1,38 +1,701 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (or an
+LLM-data-pipeline extension) implemented Spark-first in
+``pyarrowspace_spark``; ``oracle_sql()`` holds the exactly-equivalent
+DuckDB SQL. Floats are rounded identically on both sides; integer
+outputs are cast to BIGINT on both sides so value-hashes agree.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyarrowspace_spark.functions import text as T
+from pyarrowspace_spark.functions import vector as V
+from pyarrowspace_spark.operators import analytics as A
+from pyarrowspace_spark.operators import dedup as D
+from pyarrowspace_spark.operators import metrics as M
+from pyarrowspace_spark.operators import knn as KNN
+from pyarrowspace_spark.operators.search import brute_force_cosine_topk
+from pyarrowspace_spark.params import GraphParams
+from pyarrowspace_spark.sources import loaders
+
+# ---------------------------------------------------------------------------
+# shared constants (mirrored into the oracle SQL below)
+# ---------------------------------------------------------------------------
+N_QUERIES = 10          # embeddings with vec_id < N_QUERIES act as queries
+TOPK = 10
+KNN_EPS = 0.99
+KNN_K = 10
+KNN_P = 2.0
+KNN_SIGMA = 0.495
+JACCARD_N = 3
+JACCARD_T = 0.2
+NEARDUP_COS_T = 0.3
+SIMHASH_BITS = 32
+IR_N_QUERIES = 20
+
+_pkg_shipped = False
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make pyarrowspace_spark importable on executors (zip + addPyFile).
+
+    Needed only by entries that run pandas_udf kernels; pure-SQL
+    entries never leave the JVM.
+    """
+    global _pkg_shipped
+    if _pkg_shipped:
+        return
+    import shutil
+    import tempfile
+
+    zip_base = os.path.join(tempfile.gettempdir(), "pyarrowspace_spark_pkg")
+    zip_path = shutil.make_archive(zip_base, "zip", _REPO, "pyarrowspace_spark")
+    spark.sparkContext.addPyFile(zip_path)
+    _pkg_shipped = True
+
+
+def _items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return loaders.items_from_embeddings(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# flagship entry (driver smoke check, sf0.001)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the spectral index on sf0.001 embeddings and run
+    a λ-aware top-k search for 3 perturbed corpus vectors."""
+    import numpy as np
+
+    from pyarrowspace_spark.builder import ArrowSpaceBuilder
+    from pyarrowspace_spark.operators.search import search
+
+    _ship_package(spark)
+    items = _items(spark, "/root/testdata/sf0.001").select("item_id", "features")
+    idx = ArrowSpaceBuilder.build(
+        items, {"eps": 0.9, "k": 10, "topk": 5, "p": 2.0}, strategy="exact"
+    )
+    qrows = items.filter(F.col("item_id").isin([3, 7, 11])).collect()
+    q = np.array([r["features"] for r in qrows], dtype=np.float64) * 1.05
+    return search(idx.items, idx.feature_laplacian, q, tau=0.62, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (SURVEY §2 J2/W1/W3)."""
+    items = _items(spark, sf_dir).select("item_id", "features")
+    queries = items.filter(F.col("item_id") < N_QUERIES).select(
+        F.col("item_id").alias("query_id"), "features"
+    )
+    out = brute_force_cosine_topk(items, queries, TOPK)
+    return out.select(
+        "query_id", "item_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 4).alias("score_r"),
+    )
+
+
+def q_knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """λτ-graph edge list (SURVEY §2 J1/G1/P2-P4/W2)."""
+    items = _items(spark, sf_dir).select("item_id", "features")
+    params = GraphParams(eps=KNN_EPS, k=KNN_K, topk=TOPK, p=KNN_P, sigma=KNN_SIGMA)
+    edges = KNN.knn_edges(items, params, strategy="exact")
+    return edges.select(
+        "src", "dst", F.round("dist", 6).alias("dist_r"),
+        F.round("weight", 6).alias("weight_r"),
+    )
+
+
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplacian diagonal / weighted degrees (SURVEY §2 A1)."""
+    items = _items(spark, sf_dir).select("item_id", "features")
+    params = GraphParams(eps=KNN_EPS, k=KNN_K, topk=TOPK, p=KNN_P, sigma=KNN_SIGMA)
+    deg = KNN.degrees(KNN.knn_edges(items, params, strategy="exact"))
+    return deg.select("node", F.round("degree", 6).alias("degree_r"))
+
+
+def q_ir_quality_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 / MRR / nDCG@10 against label-relevance (SURVEY §2.8
+    M1-M3) for cosine rankings."""
+    items = _items(spark, sf_dir)
+    corpus = items.select("item_id", "features", "label")
+    queries = corpus.filter(F.col("item_id") < IR_N_QUERIES)
+    ranked = brute_force_cosine_topk(
+        corpus, queries.select(F.col("item_id").alias("query_id"), "features"),
+        TOPK + 1,
+    ).filter(F.col("query_id") != F.col("item_id"))
+    # re-rank after dropping self-hit
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("rank")
+    rankings = ranked.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOPK
+    ).select("query_id", "item_id", "rank")
+
+    qrels = (
+        queries.select(F.col("item_id").alias("query_id"), F.col("label").alias("ql"))
+        .join(corpus.select(F.col("item_id"), F.col("label")), F.col("label") == F.col("ql"))
+        .filter(F.col("query_id") != F.col("item_id"))
+        .select("query_id", "item_id", F.lit(1).alias("relevance"))
+    )
+    rec = M.recall_at_k(rankings, qrels, TOPK)
+    mrr_df = M.mrr(rankings, qrels)
+    ndcg_df = M.ndcg_at_k(rankings, qrels, TOPK)
+    return (
+        rec.join(mrr_df, "query_id").join(ndcg_df, "query_id")
+        .select(
+            "query_id", F.round("recall", 6).alias("recall_r"),
+            F.round("mrr", 6).alias("mrr_r"), F.round("ndcg", 6).alias("ndcg_r"),
+        )
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation (relational surface, SURVEY §2.4)."""
+    return A.pricing_summary(loaders.load_table(spark, sf_dir, "lineitem")).select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "avg_qty", "avg_disc",
+        F.col("count_order").cast("long").alias("count_order"),
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + per-group top-k window (SURVEY §2.5 W1 on
+    relational data; broadcast joins for dims)."""
+    out = A.top_customers_by_revenue(
+        loaders.load_table(spark, sf_dir, "orders"),
+        loaders.load_table(spark, sf_dir, "customer"),
+        loaders.load_table(spark, sf_dir, "nation"),
+        k=5,
+    )
+    return out.select(
+        "n_name", "c_custkey", "revenue", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch form of the streaming windowed
+    agg). Buckets computed in epoch micros — timezone-proof on any
+    driver session."""
+    ev = loaders.load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.expr("ts_us div 3600000000").alias("hour_id"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: click → most recent prior view per user (one pass,
+    user-partitioned time-ordered window; see analytics.asof_join_last_view)."""
+    from pyspark.sql import Window
+
+    ev = loaders.load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn(
+            "prev_view_us",
+            F.last(F.when(F.col("event_type") == "view", F.col("ts_us")),
+                   ignorenulls=True).over(w),
+        )
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts_us", "prev_view_us")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min), epoch-micros arithmetic."""
+    from pyspark.sql import Window
+
+    ev = loaders.load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content fingerprint."""
+    docs = loaders.load_table(spark, sf_dir, "documents")
+    out = D.exact_duplicates(docs)
+    return out.select(
+        "fingerprint", F.col("n_docs").cast("long").alias("n_docs"), "keep_id"
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting / quality scoring / fingerprinting (text analysis)."""
+    docs = loaders.load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        T.char_count("text").cast("long").alias("n_chars_seen"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio_r"),
+        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio_r"),
+        F.round(T.mean_token_length("text"), 6).alias("mean_tok_len_r"),
+        F.round(T.quality_score("text"), 6).alias("quality_r"),
+        T.content_fingerprint("text").alias("fingerprint"),
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 perms over word 3-gram shingles)."""
+    docs = loaders.load_table(spark, sf_dir, "documents")
+    out = D.minhash_signatures(docs, n=JACCARD_N)
+    return out.select(
+        "doc_id", F.col("perm").cast("long").alias("perm"), "minhash"
+    )
+
+
+def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket candidate pairs."""
+    docs = loaders.load_table(spark, sf_dir, "documents")
+    return D.minhash_band_candidates(docs, n=JACCARD_N).select("id_a", "id_b")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted index."""
+    docs = loaders.load_table(spark, sf_dir, "documents")
+    out = D.ngram_jaccard_pairs(docs, n=JACCARD_N, threshold=JACCARD_T)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (32-bit, token-level)."""
+    docs = loaders.load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, bits=SIMHASH_BITS)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs."""
+    emb = _items(spark, sf_dir)
+    out = D.embedding_near_dup_pairs(
+        emb.select(F.col("item_id").alias("vec_id"),
+                   F.col("features").alias("embedding")),
+        NEARDUP_COS_T,
+    )
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos_r"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cosine_topk": q_cosine_topk,
+        "knn_graph_edges": q_knn_graph_edges,
+        "graph_degrees": q_graph_degrees,
+        "ir_quality_labels": q_ir_quality_labels,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "events_hourly": q_events_hourly,
+        "events_asof": q_events_asof,
+        "sessionize": q_sessionize,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_band_pairs": q_minhash_band_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "embedding_near_dups": q_embedding_near_dups,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (identical algebra, shared constants)
+# ---------------------------------------------------------------------------
+
+# Portable 60-bit md5 hash (== pyarrowspace_spark.functions.text.portable_hash60)
+def _sql_hash60(expr: str) -> str:
+    return (
+        "list_reduce(list_transform(regexp_split_to_array("
+        f"substr(md5({expr}),1,15), ''), "
+        "c -> strpos('0123456789abcdef', c) - 1), (a,b) -> a*16+b)"
+    )
+
+
+_SQL_TOKENS = "list_filter(string_split(lower({t}), ' '), x -> x <> '')"
+
+_SQL_COS = (
+    "(list_dot_product({a},{b}) / "
+    "(sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))))"
+)
+
+
+def _sql_knn_edges_cte() -> str:
+    """Shared CTE: canonical weighted λτ-graph edges on embeddings."""
+    cos = _SQL_COS.format(a="a.e", b="b.e")
+    return f"""
+emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+cand AS (
+  SELECT a.id AS src, b.id AS dst,
+         1.0 - greatest({cos}, 0.0) AS dist
+  FROM emb a, emb b WHERE a.id <> b.id
+),
+inball AS (SELECT * FROM cand WHERE dist <= {KNN_EPS}),
+knn AS (
+  SELECT src, dst, dist,
+         row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rn
+  FROM inball
+),
+kept AS (SELECT src, dst, dist FROM knn WHERE rn <= {KNN_K}),
+canon AS (
+  SELECT least(src, dst) AS src, greatest(src, dst) AS dst, min(dist) AS dist
+  FROM kept GROUP BY 1, 2
+),
+edges AS (
+  SELECT src, dst, dist,
+         1.0 / (1.0 + pow(dist / {KNN_SIGMA}, {KNN_P})) AS weight
+  FROM canon
+)"""
+
+
+def _sql_shingles_cte() -> str:
+    toks = _SQL_TOKENS.format(t="text")
+    return f"""
+toks AS (SELECT doc_id, {toks} AS tk FROM documents),
+sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk) - {JACCARD_N - 1}, 0) + 1),
+                i -> array_to_string(tk[i : i + {JACCARD_N - 1}], ' '))) AS shingle
+  FROM toks WHERE len(tk) >= {JACCARD_N}
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw),
+shh AS (SELECT doc_id, shingle, {_sql_hash60('shingle')} % {D.MINHASH_PRIME} AS h FROM sh)"""
+
+
+def _sql_minhash_cte() -> str:
+    perm_rows = ", ".join(
+        f"({i}, {D.MINHASH_A[i]}, {D.MINHASH_B[i]})" for i in range(D.NUM_PERM)
+    )
+    return f"""{_sql_shingles_cte()},
+perms(perm, a, b) AS (VALUES {perm_rows}),
+sig AS (
+  SELECT doc_id, perm, min((a * h + b) % {D.MINHASH_PRIME}) AS minhash
+  FROM shh CROSS JOIN perms GROUP BY doc_id, perm
+)"""
+
+
+def _sql_simhash() -> str:
+    toks = _SQL_TOKENS.format(t="text")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tk AS (
+  SELECT DISTINCT doc_id, unnest({toks}) AS tok FROM documents
+),
+th AS (SELECT doc_id, tok, {_sql_hash60('tok')} AS h FROM tk),
+votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes"""
+
+
+_SQL_STOPWORDS = "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS) + "]"
+
+# Ideal-DCG lookup: idcg(n) = Σ_{i=1..n} 1/log2(i+1), n = 1..TOPK.
+# Python float repr round-trips exactly, so both engines see identical
+# doubles; the Spark side sums the same series termwise (rounded to 6
+# decimals at the end, masking association-order noise).
+def _idcg_lut() -> str:
+    import math
+
+    acc, rows = 0.0, []
+    for i in range(1, TOPK + 1):
+        acc += 1.0 / math.log2(i + 1)
+        rows.append(f"({i}, {acc!r})")
+    return ", ".join(rows)
+
+
+_IDCG_LUT = _idcg_lut()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cos_qc = _SQL_COS.format(a="q.e", b="c.e")
+    return {
+        "cosine_topk": f"""
+WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT id, e FROM emb WHERE id < {N_QUERIES}),
+scored AS (
+  SELECT q.id AS query_id, c.id AS item_id, {cos_qc} AS score
+  FROM q, emb c
+),
+ranked AS (
+  SELECT query_id, item_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, item_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, item_id, CAST(rank AS BIGINT) AS rank,
+       round(score, 4) AS score_r
+FROM ranked WHERE rank <= {TOPK}""",
+
+        "knn_graph_edges": f"""
+WITH {_sql_knn_edges_cte()}
+SELECT src, dst, round(dist, 6) AS dist_r, round(weight, 6) AS weight_r
+FROM edges""",
+
+        "graph_degrees": f"""
+WITH {_sql_knn_edges_cte()},
+both_dir AS (
+  SELECT src AS node, weight FROM edges
+  UNION ALL
+  SELECT dst AS node, weight FROM edges
+)
+SELECT node, round(sum(weight), 6) AS degree_r FROM both_dir GROUP BY node""",
+
+        "ir_quality_labels": f"""
+WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e, label FROM embeddings),
+q AS (SELECT id, e, label FROM emb WHERE id < {IR_N_QUERIES}),
+scored AS (
+  SELECT q.id AS query_id, c.id AS item_id, {cos_qc} AS score
+  FROM q, emb c WHERE q.id <> c.id
+),
+ranked AS (
+  SELECT query_id, item_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, item_id ASC) AS rank
+  FROM scored
+),
+topk AS (SELECT * FROM ranked WHERE rank <= {TOPK}),
+qrels AS (
+  SELECT q.id AS query_id, c.id AS item_id
+  FROM q JOIN emb c ON q.label = c.label AND q.id <> c.id
+),
+nrel AS (SELECT query_id, count(*) AS n_relevant FROM qrels GROUP BY 1),
+hits AS (
+  SELECT t.query_id, t.rank
+  FROM topk t JOIN qrels r ON t.query_id = r.query_id AND t.item_id = r.item_id
+),
+rec AS (
+  SELECT n.query_id,
+         coalesce(h.n_hit, 0)::DOUBLE / n.n_relevant AS recall
+  FROM nrel n LEFT JOIN (SELECT query_id, count(*) AS n_hit
+                         FROM hits GROUP BY 1) h USING (query_id)
+),
+mrr_t AS (
+  SELECT q.id AS query_id,
+         coalesce(1.0 / (SELECT min(rank) FROM hits h WHERE h.query_id = q.id),
+                  0.0) AS mrr
+  FROM q
+),
+dcg AS (SELECT query_id, sum(1.0 / log2(rank + 1)) AS dcg FROM hits GROUP BY 1),
+idcg_lut(n, v) AS (VALUES {_IDCG_LUT}),
+idcg AS (
+  SELECT n.query_id, l.v AS idcg
+  FROM nrel n JOIN idcg_lut l ON l.n = least(n.n_relevant, {TOPK})
+),
+ndcg_t AS (
+  SELECT i.query_id, coalesce(d.dcg / i.idcg, 0.0) AS ndcg
+  FROM idcg i LEFT JOIN dcg d USING (query_id)
+)
+SELECT r.query_id, round(r.recall, 6) AS recall_r,
+       round(m.mrr, 6) AS mrr_r, round(n.ndcg, 6) AS ndcg_r
+FROM rec r JOIN mrr_t m USING (query_id) JOIN ndcg_t n USING (query_id)""",
+
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+
+        "top_customers": """
+WITH rev AS (
+  SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT n.n_name, c.c_custkey, r.revenue
+  FROM rev r
+  JOIN customer c ON r.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+ranked AS (
+  SELECT n_name, c_custkey, revenue,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY revenue DESC, c_custkey ASC) AS rank
+  FROM j
+)
+SELECT n_name, c_custkey, revenue, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5""",
+
+        "events_hourly": """
+WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events)
+SELECT ts_us // 3600000000 AS hour_id,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM e GROUP BY 1, 2""",
+
+        "events_asof": """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+           FROM events),
+w AS (
+  SELECT event_id, user_id, ts_us, event_type,
+         last_value(CASE WHEN event_type = 'view' THEN ts_us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_us
+  FROM e
+)
+SELECT event_id, user_id, ts_us, prev_view_us
+FROM w WHERE event_type = 'click'""",
+
+        "sessionize": """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+g AS (
+  SELECT user_id, event_id, ts_us,
+         ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us ASC, event_id ASC) AS gap
+  FROM e
+),
+m AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM g
+),
+s AS (
+  SELECT user_id, ts_us,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts_us ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_id
+  FROM m
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us
+FROM s GROUP BY user_id, session_id""",
+
+        "dedup_exact": f"""
+WITH toks AS (
+  SELECT doc_id,
+         array_to_string({_SQL_TOKENS.format(t='text')}, ' ') AS norm
+  FROM documents
+),
+fp AS (SELECT doc_id, {_sql_hash60('norm')} AS fingerprint FROM toks)
+SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_id
+FROM fp GROUP BY fingerprint""",
+
+        "text_stats": f"""
+WITH t AS (
+  SELECT doc_id, text, lower(text) AS low,
+         {_SQL_TOKENS.format(t='text')} AS tk
+  FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         len(tk) AS n_tokens,
+         length(text) AS n_chars_seen,
+         CASE WHEN length(low) > 0
+              THEN length(regexp_replace(low, '[a-z0-9 ]', '', 'g'))::DOUBLE
+                   / length(low)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(tk) > 0
+              THEN len(list_filter(tk, x -> list_contains({_SQL_STOPWORDS}, x)))::DOUBLE
+                   / len(tk)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(tk) > 0
+              THEN list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk)
+              ELSE 0.0 END AS mean_tok_len,
+         array_to_string(tk, ' ') AS norm
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars_seen AS BIGINT) AS n_chars_seen,
+       round(punct_ratio, 6) AS punct_ratio_r,
+       round(stopword_ratio, 6) AS stopword_ratio_r,
+       round(mean_tok_len, 6) AS mean_tok_len_r,
+       round(0.4 * least(1.0, n_tokens / 100.0)
+             + 0.3 * (1.0 - punct_ratio)
+             + 0.3 * (1.0 - abs(stopword_ratio - 0.4)), 6) AS quality_r,
+       {_sql_hash60('norm')} AS fingerprint
+FROM stats""",
+
+        "minhash_signatures": f"""
+WITH {_sql_minhash_cte()}
+SELECT doc_id, CAST(perm AS BIGINT) AS perm, minhash FROM sig""",
+
+        "minhash_band_pairs": f"""
+WITH {_sql_minhash_cte()},
+banded AS (
+  SELECT doc_id, perm // {D.BAND_ROWS} AS band,
+         string_agg(perm || ':' || minhash, ',' ORDER BY perm || ':' || minhash)
+           AS band_key
+  FROM sig GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""",
+
+        "ngram_jaccard": f"""
+WITH {_sql_shingles_cte()},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(i.n_inter::DOUBLE / (ca.n_sh + cb.n_sh - i.n_inter), 6) AS jaccard_r
+FROM inter i
+JOIN counts ca ON i.id_a = ca.doc_id
+JOIN counts cb ON i.id_b = cb.doc_id
+WHERE i.n_inter::DOUBLE / (ca.n_sh + cb.n_sh - i.n_inter) >= {JACCARD_T}""",
+
+        "simhash": _sql_simhash(),
+
+        "embedding_near_dups": f"""
+WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b,
+       round({_SQL_COS.format(a='a.e', b='b.e')}, 6) AS cos_r
+FROM emb a JOIN emb b ON a.id < b.id
+WHERE {_SQL_COS.format(a='a.e', b='b.e')} >= {NEARDUP_COS_T}""",
+    }

@@ -1,0 +1,94 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "extra": {...}}
+
+The BASELINE anchor (BASELINE.md) is index-build throughput
+(~420 items/s at N=314k F=384 single-node) plus interactive search;
+`extra.build_items_per_sec` reports our equivalent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pyarrowspace_spark.session import get_spark
+from pyarrowspace_spark.builder import ArrowSpaceBuilder
+from pyarrowspace_spark.operators.search import search, brute_force_cosine_topk
+from pyarrowspace_spark.sources import loaders
+import __spark_entry__ as entry_mod
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("pyarrowspace-bench")
+    entry_mod._ship_package(spark)
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- index build (the BASELINE throughput anchor) ---------------------
+    items = loaders.items_from_embeddings(spark, sf_dir).select(
+        "item_id", "features"
+    )
+    n_items = items.count()
+    idx = timed("index_build", lambda: ArrowSpaceBuilder.build(
+        items, {"eps": 0.99, "k": 10, "topk": 10, "p": 2.0}
+    ))
+    # force full materialization of lambda + edges
+    timed("index_materialize", lambda: (idx.items.count(), idx.edges.count()))
+    build_sec = timings["index_build"] + timings["index_materialize"]
+    extra["build_items_per_sec"] = round(n_items / build_sec, 1)
+    extra["n_items"] = n_items
+
+    # --- lambda-aware search (3 queries x tau=0.62, like the reference
+    #     CVE harness: 3 queries x 3 tau values interactive) --------------
+    qrows = items.filter(F.col("item_id").isin([3, 7, 11])).collect()
+    qvecs = np.array([r["features"] for r in qrows]) * 1.05
+    for tau in (1.0, 0.8, 0.62):
+        timed(f"search_tau_{tau}", lambda t=tau: search(
+            idx.items, idx.feature_laplacian, qvecs, tau=t, k=10
+        ).collect())
+
+    # --- headline operator queries (same code path as the driver) --------
+    qs = entry_mod.queries()
+    for name in [
+        "cosine_topk", "knn_graph_edges", "ir_quality_labels",
+        "pricing_summary", "top_customers", "events_hourly", "events_asof",
+        "sessionize", "dedup_exact", "text_stats", "minhash_signatures",
+        "minhash_band_pairs", "ngram_jaccard", "simhash",
+        "embedding_near_dups",
+    ]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).write.format(
+            "noop").mode("overwrite").save())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "pyarrowspace-spark headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extra": extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()

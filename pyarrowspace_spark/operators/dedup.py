@@ -1,0 +1,218 @@
+"""Deduplication operators for LLM-data pipelines.
+
+Four families, all shuffle-conscious and expressed as native DataFrame
+ops so Catalyst handles partial aggregation and AQE handles skew:
+
+- exact: content-fingerprint groupBy (one shuffle on a 60-bit hash).
+- MinHash + LSH banding: shingle → K permuted min-hashes → band
+  buckets → candidate pairs join bucket-locally (never all-pairs) →
+  exact Jaccard rescore. The 100 TB near-dup path.
+- n-gram Jaccard: exact pairwise Jaccard via shingle inverted index
+  (explode + self-join on shingle, groupBy pair) — the correctness
+  oracle for MinHash, quadratic only within shingle buckets.
+- SimHash: 60-bit hash per token, per-bit majority vote → 64-bit-ish
+  signature; near-dups = signatures at small Hamming distance.
+
+All hashes are the portable md5-based `portable_hash60`, so DuckDB can
+replay every step bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+# Deterministic universal-hash constants shared with the SQL oracle.
+MINHASH_PRIME = 1_000_000_007
+NUM_PERM = 16
+BAND_ROWS = 2  # 8 bands of 2 rows
+
+MINHASH_A = [(2654435761 * (i + 1)) % MINHASH_PRIME for i in range(NUM_PERM)]
+MINHASH_B = [(40503 * (i + 1) * (i + 1) + 12345) % MINHASH_PRIME
+             for i in range(NUM_PERM)]
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: DataFrame[fingerprint, n_docs, keep_id]
+    (keep_id = min doc id; survivors of dedup)."""
+    fp = docs.select(
+        F.col(id_col), T.content_fingerprint(text_col).alias("fingerprint")
+    )
+    return fp.groupBy("fingerprint").agg(
+        F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id")
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc with portable hashes."""
+    return (
+        docs.select(F.col(id_col),
+                    F.explode(T.word_ngrams(text_col, n)).alias("shingle"))
+        .distinct()
+        .withColumn("h", T.portable_hash60("shingle") % F.lit(MINHASH_PRIME))
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """DataFrame[doc_id, perm, minhash] — K×N rows, one shuffle.
+
+    h_i(s) = (a_i·H(s) + b_i) mod p with H the portable 60-bit hash
+    reduced mod p; products stay < 2^63 (a_i, H < p ≈ 2^30).
+    """
+    sh = shingles(docs, n, id_col, text_col)
+    perms = F.array(*[
+        F.struct(F.lit(i).alias("perm"),
+                 ((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+                  % F.lit(MINHASH_PRIME)).alias("hv"))
+        for i in range(NUM_PERM)
+    ])
+    exploded = sh.select(id_col, F.explode(perms).alias("ph")).select(
+        id_col, F.col("ph.perm").alias("perm"), F.col("ph.hv").alias("hv")
+    )
+    return exploded.groupBy(id_col, "perm").agg(F.min("hv").alias("minhash"))
+
+
+def minhash_band_candidates(docs: DataFrame, n: int = 3,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """LSH banding: docs sharing any (band, band-signature) bucket.
+
+    Returns DataFrame[id_a, id_b] with id_a < id_b. The pair join is
+    per-bucket — shuffle on the band hash, never a global cross join.
+    """
+    sig = minhash_signatures(docs, n, id_col, text_col)
+    banded = sig.withColumn("band", (F.col("perm") / F.lit(BAND_ROWS)).cast("int"))
+    band_sig = banded.groupBy(id_col, "band").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("perm").cast("string"),
+                        F.col("minhash").cast("string"))
+        ))).alias("band_key")
+    )
+    a = band_sig.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = band_sig.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Exact pairwise n-gram Jaccard ≥ threshold via inverted index.
+
+    |A∩B| from the shingle self-join (pairs only materialize for docs
+    sharing ≥1 shingle — the inverted index prunes the N² space);
+    |A∪B| = |A|+|B|−|A∩B| from per-doc counts broadcast back in.
+    """
+    sh = shingles(docs, n, id_col, text_col).select(
+        F.col(id_col).alias("id"), "shingle"
+    )
+    counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x").join(sh.alias("y"), "shingle")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(counts.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(counts.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("n_inter") /
+                    (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Per-doc SimHash signature over distinct tokens.
+
+    bit_j = 1 iff Σ_tokens (±1 by token-hash bit j) > 0. Pure SQL:
+    explode tokens → per-bit vote via bit arithmetic → groupBy doc.
+    Returns DataFrame[doc_id, simhash(long)].
+    """
+    toks = (
+        docs.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("tok"))
+        .distinct()
+        .withColumn("h", T.portable_hash60("tok"))
+    )
+    votes = toks.select(
+        id_col,
+        *[(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                  F.lit(1)).otherwise(F.lit(-1))).alias(f"b{j}")
+          for j in range(bits)],
+    )
+    agg = votes.groupBy(id_col).agg(
+        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(bits)]
+    )
+    sig = agg.select(
+        id_col,
+        sum(
+            (F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+             for j in range(bits)),
+            start=F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return sig
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
+
+    Exact path: broadcast corpus + partition-local BLAS scan (the N^2
+    space is filtered executor-side; only qualifying pairs reach the
+    output). At corpus sizes beyond executor memory, swap in the LSH
+    candidate generator from operators/knn.py — same contract.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    spark = emb.sparkSession
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_X = spark.sparkContext.broadcast(X)
+    b_norms = spark.sparkContext.broadcast(norms)
+    t = float(threshold)
+
+    schema = StructType([
+        StructField("id_a", LongType(), False),
+        StructField("id_b", LongType(), False),
+        StructField("cos", DoubleType(), False),
+    ])
+
+    def scan(batches):
+        ids_all, X_all, n_all = b_ids.value, b_X.value, b_norms.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            qn = np.linalg.norm(Q, axis=1)
+            cos = (Q @ X_all.T) / np.outer(qn, n_all)
+            # emit only (id_a < id_b) to halve work and dedupe
+            ra, ca = np.nonzero((cos >= t) & (qids[:, None] < ids_all[None, :]))
+            if ra.size:
+                yield pd.DataFrame({
+                    "id_a": qids[ra],
+                    "id_b": ids_all[ca],
+                    "cos": cos[ra, ca],
+                })
+
+    return emb.select(id_col, vec_col).mapInPandas(scan, schema=schema)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -40,6 +41,10 @@ def _pairwise_candidates_exact(items: DataFrame, id_col: str, feat_col: str) -> 
     The join condition a.id != b.id keeps Catalyst from collapsing the
     self-join; distances are computed with JVM higher-order functions
     inside codegen. Norms are precomputed once per side to halve work.
+
+    Kept as the pure-SQL reference formulation; the default exact path
+    is `_knn_edges_broadcast_scan` (same math, vectorized) because a
+    per-pair `aggregate` lambda costs ~100x a BLAS matmul.
     """
     a = items.select(
         F.col(id_col).alias("src"),
@@ -58,6 +63,81 @@ def _pairwise_candidates_exact(items: DataFrame, id_col: str, feat_col: str) -> 
         "dst",
         (F.lit(1.0) - F.greatest(cos, F.lit(0.0))).alias("dist"),
     )
+
+
+def _knn_directed_broadcast_scan(
+    items: DataFrame,
+    id_col: str,
+    feat_col: str,
+    eps: float,
+    k: int,
+) -> DataFrame:
+    """Directed kNN candidates via broadcast corpus + partition-local
+    numpy scan.
+
+    Each partition multiplies its rows against the broadcast corpus
+    matrix (one BLAS gemm per Arrow batch), applies the eps predicate
+    and the per-row k-smallest cap (ties broken by dst asc, matching
+    the SQL window `ORDER BY dist ASC, dst ASC`), and emits at most
+    k rows per item — the N^2 candidate space never hits the shuffle.
+
+    Scale contract: corpus matrix must fit in executor memory
+    (N x F x 8B; ~1 GB at N=314k, F=384 — the reference's own ceiling).
+    Beyond that, `strategy='lsh'` is the path.
+    """
+    import pandas as pd
+
+    spark = items.sparkSession
+    rows = items.select(id_col, feat_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    X = np.array([r[feat_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_X = spark.sparkContext.broadcast(X)
+    b_norms = spark.sparkContext.broadcast(norms)
+    eps_f, k_i = float(eps), int(k)
+
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField("src", LongType(), False),
+        StructField("dst", LongType(), False),
+        StructField("dist", DoubleType(), False),
+    ])
+
+    def scan(batches):
+        ids_all, X_all, n_all = b_ids.value, b_X.value, b_norms.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf[feat_col].to_numpy()).astype(np.float64)
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            qn = np.linalg.norm(Q, axis=1)
+            cos = (Q @ X_all.T) / np.outer(qn, n_all)
+            dist = 1.0 - np.maximum(cos, 0.0)
+            out_s, out_d, out_v = [], [], []
+            for r in range(dist.shape[0]):
+                drow = dist[r]
+                mask = (drow <= eps_f) & (ids_all != qids[r])
+                cand = np.nonzero(mask)[0]
+                if cand.size == 0:
+                    continue
+                if cand.size > k_i:
+                    # k smallest by (dist, dst): lexsort minor->major
+                    order = np.lexsort((ids_all[cand], drow[cand]))[:k_i]
+                    cand = cand[order]
+                out_s.append(np.full(cand.size, qids[r], dtype=np.int64))
+                out_d.append(ids_all[cand])
+                out_v.append(drow[cand])
+            if out_s:
+                yield pd.DataFrame({
+                    "src": np.concatenate(out_s),
+                    "dst": np.concatenate(out_d),
+                    "dist": np.concatenate(out_v),
+                })
+
+    return items.select(id_col, feat_col).mapInPandas(scan, schema=schema)
 
 
 def _pairwise_candidates_lsh(
@@ -115,22 +195,30 @@ def knn_edges(
     if strategy == "auto":
         strategy = "exact" if items.count() <= EXACT_PATH_MAX_ROWS else "lsh"
     if strategy == "exact":
-        cand = _pairwise_candidates_exact(items, id_col, feat_col)
-    elif strategy == "lsh":
-        cand = _pairwise_candidates_lsh(items, id_col, feat_col, params.eps)
+        # eps + per-node top-k already applied partition-locally.
+        knn = _knn_directed_broadcast_scan(
+            items, id_col, feat_col, params.eps, params.k
+        )
     else:
-        raise ValueError(f"unknown strategy {strategy!r}")
+        if strategy == "exact-sql":
+            cand = _pairwise_candidates_exact(items, id_col, feat_col)
+        elif strategy == "lsh":
+            cand = _pairwise_candidates_lsh(items, id_col, feat_col, params.eps)
+        else:
+            raise ValueError(f"unknown strategy {strategy!r}")
 
-    # eps predicate BEFORE the top-k window: Catalyst pushes the filter
-    # below the shuffle, so the window sorts only surviving candidates.
-    in_ball = cand.filter(F.col("dist") <= F.lit(float(params.eps)))
+        # eps predicate BEFORE the top-k window: Catalyst pushes the
+        # filter below the shuffle, so the window sorts only survivors.
+        in_ball = cand.filter(F.col("dist") <= F.lit(float(params.eps)))
 
-    # Per-node k smallest; tie-break by dst for determinism across
-    # nondeterministic shuffle order (risk register SURVEY §7.3).
-    w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
-    knn = in_ball.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= F.lit(int(params.k))
-    ).drop("_rn")
+        # Per-node k smallest; tie-break by dst for determinism across
+        # nondeterministic shuffle order (risk register SURVEY §7.3).
+        w = Window.partitionBy("src").orderBy(
+            F.col("dist").asc(), F.col("dst").asc()
+        )
+        knn = in_ball.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= F.lit(int(params.k))
+        ).drop("_rn")
 
     # Symmetrize: undirected edge survives if EITHER direction kept it.
     # Canonicalize to src < dst and dedupe (dist is symmetric).

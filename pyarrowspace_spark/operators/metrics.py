@@ -1,0 +1,151 @@
+"""IR evaluation metrics as DataFrame transforms (SURVEY §2.8 M1-M7).
+
+Inputs follow the engine's result shape:
+  rankings: DataFrame[query_id, item_id, rank]   (rank 1-based)
+  qrels:    DataFrame[query_id, item_id, relevance>0]
+
+Every metric is a join + window/agg — partial-aggregable, one shuffle
+on query_id. Reference semantics cited per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def recall_at_k(rankings: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
+    """Recall@k = |top-k ∩ relevant| / |relevant| per query
+    (reference tests/test_3_beir.py:262-268)."""
+    n_rel = qrels.groupBy("query_id").agg(F.count("*").alias("n_relevant"))
+    hits = (
+        rankings.filter(F.col("rank") <= k)
+        .join(qrels, ["query_id", "item_id"])
+        .groupBy("query_id").agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        n_rel.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_relevant"))
+            .alias("recall"),
+        )
+    )
+
+
+def mrr(rankings: DataFrame, qrels: DataFrame) -> DataFrame:
+    """MRR = 1/rank of first relevant hit, 0 if none
+    (reference tests/test_3_beir.py:271-277)."""
+    first_hit = (
+        rankings.join(qrels, ["query_id", "item_id"])
+        .groupBy("query_id").agg(F.min("rank").alias("first_rank"))
+    )
+    all_q = rankings.select("query_id").distinct()
+    return all_q.join(first_hit, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.lit(1.0) / F.col("first_rank"), F.lit(0.0)).alias("mrr"),
+    )
+
+
+def ndcg_at_k(rankings: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
+    """Graded nDCG@k with log2(rank+1) discounts; ideal DCG from the
+    relevance-sorted prefix (reference tests/test_3_beir.py:224-259)."""
+    dcg = (
+        rankings.filter(F.col("rank") <= k)
+        .join(qrels, ["query_id", "item_id"])
+        .groupBy("query_id")
+        .agg(F.sum(F.col("relevance") /
+                   F.log2(F.col("rank") + 1)).alias("dcg"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("relevance").desc(), F.col("item_id").asc()
+    )
+    ideal = (
+        qrels.withColumn("irank", F.row_number().over(w))
+        .filter(F.col("irank") <= k)
+        .groupBy("query_id")
+        .agg(F.sum(F.col("relevance") /
+                   F.log2(F.col("irank") + 1)).alias("idcg"))
+    )
+    return (
+        ideal.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)).alias("ndcg"),
+        )
+    )
+
+
+def map_at_k(rankings: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
+    """MAP@k: mean over relevant hits of precision-at-hit-rank
+    (reference tests/test_8_CVE_db_sweep.py:127-151)."""
+    from pyspark.sql import Window
+
+    topk = rankings.filter(F.col("rank") <= k)
+    hits = topk.join(qrels.select("query_id", "item_id"),
+                     ["query_id", "item_id"])
+    w = Window.partitionBy("query_id").orderBy("rank")
+    prec = hits.withColumn("n_hits_so_far", F.row_number().over(w)).select(
+        "query_id", (F.col("n_hits_so_far") / F.col("rank")).alias("p_at_hit")
+    )
+    n_rel = qrels.groupBy("query_id").agg(F.count("*").alias("n_relevant"))
+    ap = prec.groupBy("query_id").agg(F.sum("p_at_hit").alias("sum_p"))
+    all_q = rankings.select("query_id").distinct()
+    return (
+        all_q.join(ap, "query_id", "left").join(n_rel, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("sum_p"), F.lit(0.0)) /
+             F.least(F.coalesce(F.col("n_relevant"), F.lit(1)), F.lit(k)))
+            .alias("map"),
+        )
+    )
+
+
+def spearman_rho(rank_a: DataFrame, rank_b: DataFrame) -> DataFrame:
+    """Spearman ρ between two rankings on their shared items, per query
+    (reference tests/test_2_CVE_db.py:159-174): Pearson corr of ranks
+    re-densified over the intersection."""
+    from pyspark.sql import Window
+
+    j = rank_a.select("query_id", "item_id",
+                      F.col("rank").alias("ra")).join(
+        rank_b.select("query_id", "item_id", F.col("rank").alias("rb")),
+        ["query_id", "item_id"],
+    )
+    wa = Window.partitionBy("query_id").orderBy("ra", "item_id")
+    wb = Window.partitionBy("query_id").orderBy("rb", "item_id")
+    dense = j.withColumn("da", F.row_number().over(wa)).withColumn(
+        "db", F.row_number().over(wb)
+    )
+    return dense.groupBy("query_id").agg(
+        F.corr(F.col("da").cast("double"),
+               F.col("db").cast("double")).alias("spearman")
+    )
+
+
+def rbo(rank_a: DataFrame, rank_b: DataFrame, p: float = 0.9,
+        max_depth: int = 10) -> DataFrame:
+    """Rank-biased overlap at depths 1..max_depth
+    (reference tests/test_6_beir_new_score.py:393-406):
+    RBO ≈ (1-p) Σ_d p^(d-1) · |A_d ∩ B_d| / d   (prefix overlap form).
+    """
+    depths = list(range(1, max_depth + 1))
+    out = None
+    for d in depths:
+        a_d = rank_a.filter(F.col("rank") <= d).select("query_id", "item_id")
+        b_d = rank_b.filter(F.col("rank") <= d).select("query_id", "item_id")
+        ov = (
+            a_d.join(b_d, ["query_id", "item_id"])
+            .groupBy("query_id")
+            .agg((F.count("*") / F.lit(float(d))).alias(f"ov_{d}"))
+        )
+        out = ov if out is None else out.join(ov, "query_id", "outer")
+    weight = [(1 - p) * (p ** (d - 1)) for d in depths]
+    expr = None
+    for d, w_ in zip(depths, weight):
+        term = F.coalesce(F.col(f"ov_{d}"), F.lit(0.0)) * F.lit(w_)
+        expr = term if expr is None else expr + term
+    return out.select("query_id", expr.alias("rbo"))

@@ -1,0 +1,53 @@
+"""Loaders for the driver's synthetic parquet tables (TESTDATA.md).
+
+All loads are plain `spark.read.parquet` — predicate pushdown and
+column pruning reach the scan for free. `items_from_embeddings`
+standardizes the vector table into the engine's index-input shape
+(float embeddings cast to double once, at the boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; read nanos as long and expose both `ts_us` (epoch
+    micros, timezone-proof — matches DuckDB's micro truncation) and a
+    proper `ts` timestamp column for timestamp-typed operators."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes)["ts"] == "bigint":
+        raw = (
+            raw.withColumn("ts_us", F.expr("ts div 1000"))  # integer div —
+            # float division would lose precision above 2^53 nanos
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+    else:
+        raw = raw.withColumn("ts_us", F.unix_micros("ts"))
+    return raw
+
+
+def items_from_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings.parquet → DataFrame[item_id, features array<double>, label]."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias("item_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+        "label",
+    )
