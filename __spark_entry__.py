@@ -302,6 +302,50 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(docs, bits=SIMHASH_BITS)
 
 
+LAMBDA_TAU = 0.62
+LAMBDA_QIDS = (3, 7, 11)
+
+
+def q_lambda_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full index build: per-item λ with Median-synthesized τ
+    (SURVEY §2 G1-G3, A1-A5 composed, oracle-checked end-to-end)."""
+    from pyarrowspace_spark.builder import ArrowSpaceBuilder
+
+    _ship_package(spark)
+    items = _items(spark, sf_dir).select("item_id", "features")
+    idx = ArrowSpaceBuilder.build(
+        items,
+        {"eps": KNN_EPS, "k": KNN_K, "topk": TOPK, "p": KNN_P, "sigma": KNN_SIGMA},
+        strategy="exact",
+    )
+    return idx.items.select("item_id", F.round("lambda", 6).alias("lambda_r"))
+
+
+def q_lambda_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """λ-aware blended search (SURVEY §2 G4-G5, W1) — the flagship
+    operator, oracle-checked end-to-end against pure SQL."""
+    from pyarrowspace_spark.builder import ArrowSpaceBuilder
+    from pyarrowspace_spark.operators.search import search
+
+    _ship_package(spark)
+    items = _items(spark, sf_dir).select("item_id", "features")
+    idx = ArrowSpaceBuilder.build(
+        items,
+        {"eps": KNN_EPS, "k": KNN_K, "topk": TOPK, "p": KNN_P, "sigma": KNN_SIGMA},
+        strategy="exact",
+    )
+    queries = items.filter(F.col("item_id").isin(list(LAMBDA_QIDS))).select(
+        F.col("item_id").alias("query_id"),
+        F.transform("features", lambda x: x * F.lit(1.05)).alias("features"),
+    )
+    out = search(idx.items, idx.feature_laplacian, queries,
+                 tau=LAMBDA_TAU, k=TOPK)
+    return out.select(
+        "query_id", "item_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs."""
     emb = _items(spark, sf_dir)
@@ -331,6 +375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "embedding_near_dups": q_embedding_near_dups,
+        "lambda_table": q_lambda_table,
+        "lambda_search": q_lambda_search,
     }
 
 
@@ -426,6 +472,58 @@ WITH tk AS (
 th AS (SELECT doc_id, tok, {_sql_hash60('tok')} AS h FROM tk),
 votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id)
 SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes"""
+
+
+def _sql_lambda_cte() -> str:
+    """Shared CTEs replicating the full spectral pipeline in SQL:
+    λτ-graph → degrees → F×F feature Laplacian L_F = XᵀLX → Rayleigh
+    e_raw → Gini dispersion → λ, for items AND perturbed queries.
+    Validated against a numpy ground-truth implementation
+    (prototypes/lambda_sql.py)."""
+    return f"""{_sql_knn_edges_cte()},
+bothdir AS (SELECT src, dst, weight FROM edges
+            UNION ALL SELECT dst, src, weight FROM edges),
+deg AS (SELECT src AS id, sum(weight) AS d FROM bothdir GROUP BY 1),
+feats AS (SELECT id, unnest(e) AS v, generate_subscripts(e,1) AS fi FROM emb),
+lf_diag AS (
+  SELECT a.fi AS fi, b.fi AS fj, sum(d.d * a.v * b.v) AS val
+  FROM feats a JOIN feats b USING (id) JOIN deg d ON d.id = a.id
+  GROUP BY 1, 2),
+lf_edge AS (
+  SELECT a.fi AS fi, b.fi AS fj, sum(-e.weight * a.v * b.v) AS val
+  FROM bothdir e JOIN feats a ON a.id = e.src JOIN feats b ON b.id = e.dst
+  GROUP BY 1, 2),
+lf AS (
+  SELECT fi, fj, sum(val) AS lv FROM (
+    SELECT * FROM lf_diag UNION ALL SELECT * FROM lf_edge) GROUP BY 1, 2),
+q AS (SELECT id AS qid, list_transform(e, x -> x * 1.05) AS e
+      FROM emb WHERE id IN {LAMBDA_QIDS}),
+qfeats AS (SELECT qid AS id, unnest(e) AS v, generate_subscripts(e,1) AS fi FROM q),
+allfeats AS (
+  SELECT 'i' AS kind, id, v, fi FROM feats
+  UNION ALL SELECT 'q' AS kind, id, v, fi FROM qfeats),
+eraw AS (
+  SELECT f1.kind, f1.id, sum(f1.v * l.lv * f2.v) AS e_raw
+  FROM allfeats f1
+  JOIN lf l ON l.fi = f1.fi
+  JOIN allfeats f2 ON f2.kind = f1.kind AND f2.id = f1.id AND f2.fi = l.fj
+  GROUP BY 1, 2),
+tau_synth AS (
+  SELECT quantile_cont(e_raw, 0.5) AS t FROM eraw WHERE kind = 'i'),
+fedges AS (SELECT fi, fj, -lv AS w FROM lf WHERE fi <> fj AND -lv > 0),
+gshare AS (
+  SELECT f1.kind, f1.id,
+         sum(fe.w * (f1.v - f2.v) * (f1.v - f2.v)) AS tot,
+         sum(pow(fe.w * (f1.v - f2.v) * (f1.v - f2.v), 2)) AS sumsq
+  FROM fedges fe
+  JOIN allfeats f1 ON f1.fi = fe.fi
+  JOIN allfeats f2 ON f2.kind = f1.kind AND f2.id = f1.id AND f2.fi = fe.fj
+  GROUP BY 1, 2),
+gval AS (
+  SELECT kind, id,
+         least(greatest(CASE WHEN tot > 0 THEN sumsq / (tot * tot)
+                             ELSE 0 END, 0.0), 1.0) AS g
+  FROM gshare)"""
 
 
 _SQL_STOPWORDS = "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS) + "]"
@@ -691,6 +789,37 @@ JOIN counts cb ON i.id_b = cb.doc_id
 WHERE i.n_inter::DOUBLE / (ca.n_sh + cb.n_sh - i.n_inter) >= {JACCARD_T}""",
 
         "simhash": _sql_simhash(),
+
+        "lambda_table": f"""
+WITH {_sql_lambda_cte()}
+SELECT e.id AS item_id,
+       round((SELECT t FROM tau_synth) * (e.e_raw / (e.e_raw + (SELECT t FROM tau_synth)))
+             + (1 - (SELECT t FROM tau_synth)) * g.g, 6) AS lambda_r
+FROM eraw e JOIN gval g ON g.kind = e.kind AND g.id = e.id
+WHERE e.kind = 'i'""",
+
+        "lambda_search": f"""
+WITH {_sql_lambda_cte()},
+lam AS (
+  SELECT e.kind, e.id,
+         {LAMBDA_TAU} * (e.e_raw / (e.e_raw + {LAMBDA_TAU}))
+         + (1 - {LAMBDA_TAU}) * g.g AS lam
+  FROM eraw e JOIN gval g ON g.kind = e.kind AND g.id = e.id),
+scored AS (
+  SELECT q.qid AS query_id, c.id AS item_id,
+         {LAMBDA_TAU} * {_SQL_COS.format(a='q.e', b='c.e')}
+         + (1 - {LAMBDA_TAU}) * (1.0 / (1.0 + abs(lq.lam - lx.lam))) AS score
+  FROM q JOIN lam lq ON lq.kind = 'q' AND lq.id = q.qid
+  CROSS JOIN emb c
+  JOIN lam lx ON lx.kind = 'i' AND lx.id = c.id),
+ranked AS (
+  SELECT query_id, item_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, item_id ASC) AS rank
+  FROM scored)
+SELECT query_id, item_id, CAST(rank AS BIGINT) AS rank,
+       round(score, 5) AS score_r
+FROM ranked WHERE rank <= {TOPK}""",
 
         "embedding_near_dups": f"""
 WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings)
