@@ -357,6 +357,158 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos_r"))
 
 
+ANN_K = 5
+ANN_N_TABLES = 4
+ANN_N_PLANES = 8
+RANKCORR_K = 20
+HEADTAIL_HEAD = 3
+HEADTAIL_TAIL = 15
+
+
+def _ann_planes():
+    from pyarrowspace_spark.operators.simsearch import lsh_hyperplanes
+
+    # dim fixed at 64 (testdata embedding width); seeded → identical
+    # literals on both engines.
+    return lsh_hyperplanes(64, ANN_N_TABLES, ANN_N_PLANES, seed=42)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate cosine top-k (similarity-search scale
+    path): bucket-join candidates, exact rescore — oracle replays the
+    same hyperplanes as SQL literals."""
+    from pyarrowspace_spark.operators.simsearch import ann_cosine_topk
+
+    items = _items(spark, sf_dir).select("item_id", "features")
+    queries_df = items.filter(F.col("item_id") < N_QUERIES).select(
+        F.col("item_id").alias("query_id"), "features"
+    )
+    out = ann_cosine_topk(items, queries_df, ANN_K, _ann_planes())
+    return out.select(
+        "query_id", "item_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 4).alias("score_r"),
+    )
+
+
+def _cos_eucl_rankings(spark: SparkSession, sf_dir: str):
+    """Two rankings per query (cosine vs euclidean top-20) used by the
+    rank-agreement metrics (SURVEY §2.8 M6-M7)."""
+    items = _items(spark, sf_dir).select("item_id", "features")
+    queries_df = items.filter(F.col("item_id") < N_QUERIES).select(
+        F.col("item_id").alias("query_id"), F.col("features").alias("qf")
+    )
+    from pyspark.sql import Window
+
+    pairs = items.join(F.broadcast(queries_df),
+                       F.col("query_id") != F.col("item_id"))
+    base = pairs.select(
+        "query_id", "item_id",
+        V.cosine_similarity("qf", "features").alias("cos"),
+        V.euclidean_distance("qf", "features").alias("eucl"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                                F.col("item_id").asc())
+    we = Window.partitionBy("query_id").orderBy(F.col("eucl").asc(),
+                                                F.col("item_id").asc())
+    rank_cos = base.withColumn("rank", F.row_number().over(wc)).filter(
+        F.col("rank") <= RANKCORR_K).select("query_id", "item_id", "rank")
+    rank_eucl = base.withColumn("rank", F.row_number().over(we)).filter(
+        F.col("rank") <= RANKCORR_K).select("query_id", "item_id", "rank")
+    return rank_cos, rank_eucl
+
+
+def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman ρ + Kendall τ between cosine and euclidean rankings on
+    shared items (SURVEY §2.8 M6)."""
+    rank_cos, rank_eucl = _cos_eucl_rankings(spark, sf_dir)
+    sp = M.spearman_rho(rank_cos, rank_eucl)
+    kt = M.kendall_tau(rank_cos, rank_eucl)
+    return (
+        sp.join(kt, "query_id")
+        .filter(F.col("spearman").isNotNull())
+        .select("query_id", F.round("spearman", 6).alias("spearman_r"),
+                F.round("kendall", 6).alias("kendall_r"))
+    )
+
+
+def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (p=0.9, depth 10) between cosine and
+    euclidean rankings (SURVEY §2.8 M7)."""
+    rank_cos, rank_eucl = _cos_eucl_rankings(spark, sf_dir)
+    out = M.rbo(rank_cos, rank_eucl, p=0.9, max_depth=10)
+    return out.select("query_id", F.round("rbo", 6).alias("rbo_r"))
+
+
+def q_map_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 against label relevance (SURVEY §2.8 M4)."""
+    items = _items(spark, sf_dir)
+    corpus = items.select("item_id", "features", "label")
+    queries_df = corpus.filter(F.col("item_id") < IR_N_QUERIES)
+    ranked = brute_force_cosine_topk(
+        corpus, queries_df.select(F.col("item_id").alias("query_id"), "features"),
+        TOPK + 1,
+    ).filter(F.col("query_id") != F.col("item_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("rank")
+    rankings = ranked.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOPK).select("query_id", "item_id", "rank")
+    qrels = (
+        queries_df.select(F.col("item_id").alias("query_id"),
+                          F.col("label").alias("ql"))
+        .join(corpus.select("item_id", "label"), F.col("label") == F.col("ql"))
+        .filter(F.col("query_id") != F.col("item_id"))
+        .select("query_id", "item_id", F.lit(1).alias("relevance"))
+    )
+    out = M.map_at_k(rankings, qrels, TOPK)
+    return out.select("query_id", F.round("map", 6).alias("map_r"))
+
+
+def q_head_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/tail score-distribution stats over cosine rankings
+    (SURVEY §2.4 A7 tail analysis)."""
+    items = _items(spark, sf_dir).select("item_id", "features")
+    queries_df = items.filter(F.col("item_id") < N_QUERIES).select(
+        F.col("item_id").alias("query_id"), "features"
+    )
+    ranked = brute_force_cosine_topk(items, queries_df, HEADTAIL_TAIL + 1
+                                     ).filter(F.col("query_id") != F.col("item_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("rank")
+    rankings = ranked.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= HEADTAIL_TAIL)
+    out = M.head_tail_stats(rankings, HEADTAIL_HEAD, HEADTAIL_TAIL)
+    return out.select(
+        "query_id", F.round("head_mean", 6).alias("head_mean_r"),
+        F.round("tail_mean", 6).alias("tail_mean_r"),
+        F.round("tail_std", 6).alias("tail_std_r"),
+        F.round("tail_head_ratio", 6).alias("tail_head_ratio_r"),
+    )
+
+
+def q_nearest_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query→corpus nearest-anchor join by L2 (SURVEY §2.3 J3,
+    §2.4 A8 argmin)."""
+    items = _items(spark, sf_dir).select("item_id", "features")
+    queries_df = items.filter(F.col("item_id") < N_QUERIES).select(
+        F.col("item_id").alias("query_id"), F.col("features").alias("qf")
+    )
+    from pyspark.sql import Window
+
+    pairs = items.join(F.broadcast(queries_df),
+                       F.col("query_id") != F.col("item_id"))
+    d = pairs.select("query_id", "item_id",
+                     V.euclidean_distance("qf", "features").alias("dist"))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
+                                               F.col("item_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        .select("query_id", F.col("item_id").alias("anchor_id"),
+                F.round("dist", 6).alias("dist_r"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cosine_topk": q_cosine_topk,
@@ -377,6 +529,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "lambda_table": q_lambda_table,
         "lambda_search": q_lambda_search,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "rank_correlation": q_rank_correlation,
+        "rbo_cos_eucl": q_rbo,
+        "map_at_10": q_map_at_10,
+        "head_tail": q_head_tail,
+        "nearest_anchor": q_nearest_anchor,
     }
 
 
@@ -543,6 +701,47 @@ def _idcg_lut() -> str:
 
 
 _IDCG_LUT = _idcg_lut()
+
+
+def _sql_ann_buckets(src: str, vec: str) -> str:
+    """Bucket columns for each LSH table from hyperplane literals."""
+    planes = _ann_planes()
+    cols = []
+    for t in range(planes.shape[0]):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product({vec}, "
+            f"[{', '.join(repr(float(x)) for x in planes[t, j])}]) > 0 "
+            f"THEN {2 ** j} ELSE 0 END)"
+            for j in range(planes.shape[1])
+        )
+        cols.append(f"CAST({bits} AS BIGINT) AS bucket_{t}")
+    return f"SELECT *, {', '.join(cols)} FROM {src}"
+
+
+def _sql_cos_eucl_rankings_cte() -> str:
+    """Shared CTE: cosine and euclidean top-RANKCORR_K rankings for
+    the first N_QUERIES embeddings (self excluded)."""
+    cos = _SQL_COS.format(a="q.e", b="c.e")
+    return f"""
+emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT id, e FROM emb WHERE id < {N_QUERIES}),
+base AS (
+  SELECT q.id AS query_id, c.id AS item_id,
+         {cos} AS cos, list_distance(q.e, c.e) AS eucl
+  FROM q, emb c WHERE q.id <> c.id
+),
+rank_cos AS (
+  SELECT query_id, item_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, item_id ASC) AS rank
+  FROM base QUALIFY rank <= {RANKCORR_K}
+),
+rank_eucl AS (
+  SELECT query_id, item_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY eucl ASC, item_id ASC) AS rank
+  FROM base QUALIFY rank <= {RANKCORR_K}
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -820,6 +1019,163 @@ ranked AS (
 SELECT query_id, item_id, CAST(rank AS BIGINT) AS rank,
        round(score, 5) AS score_r
 FROM ranked WHERE rank <= {TOPK}""",
+
+        "ann_lsh_topk": f"""
+WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+it AS ({_sql_ann_buckets('emb', 'e')}),
+qu AS (SELECT * FROM it WHERE id < {N_QUERIES}),
+cand AS (
+  {' UNION ALL '.join(
+      f"SELECT qu.id AS query_id, qu.e AS qe, it.id AS item_id, it.e AS ie "
+      f"FROM qu JOIN it ON qu.bucket_{t} = it.bucket_{t}"
+      for t in range(ANN_N_TABLES))}
+),
+dedup AS (SELECT DISTINCT query_id, item_id FROM cand),
+scored AS (
+  SELECT d.query_id, d.item_id,
+         {_SQL_COS.format(a='q.e', b='c.e')} AS score
+  FROM dedup d JOIN emb q ON q.id = d.query_id JOIN emb c ON c.id = d.item_id
+),
+ranked AS (
+  SELECT query_id, item_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, item_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, item_id, CAST(rank AS BIGINT) AS rank,
+       round(score, 4) AS score_r
+FROM ranked WHERE rank <= {ANN_K}""",
+
+        "rank_correlation": f"""
+WITH {_sql_cos_eucl_rankings_cte()},
+j AS (
+  SELECT a.query_id, a.item_id, a.rank AS ra, b.rank AS rb
+  FROM rank_cos a JOIN rank_eucl b USING (query_id, item_id)
+),
+dense AS (
+  SELECT query_id, item_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ra, item_id) AS da,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rb, item_id) AS db,
+         ra, rb
+  FROM j
+),
+sp AS (
+  SELECT query_id, corr(da::DOUBLE, db::DOUBLE) AS spearman
+  FROM dense GROUP BY query_id
+),
+pairs AS (
+  SELECT x.query_id,
+         sign(x.ra - y.ra) * sign(x.rb - y.rb) AS concord
+  FROM j x JOIN j y
+    ON x.query_id = y.query_id AND x.item_id < y.item_id
+),
+kt AS (
+  SELECT p.query_id,
+         sum(p.concord)::DOUBLE / (n.n * (n.n - 1) / 2) AS kendall
+  FROM pairs p
+  JOIN (SELECT query_id, count(*) AS n FROM j GROUP BY 1) n USING (query_id)
+  GROUP BY p.query_id, n.n
+)
+SELECT s.query_id, round(s.spearman, 6) AS spearman_r,
+       round(k.kendall, 6) AS kendall_r
+FROM sp s JOIN kt k USING (query_id)
+WHERE s.spearman IS NOT NULL""",
+
+        "rbo_cos_eucl": f"""
+WITH {_sql_cos_eucl_rankings_cte()},
+depths(d) AS (VALUES {', '.join(f'({d})' for d in range(1, 11))}),
+ov AS (
+  SELECT a.query_id, dp.d, count(*)::DOUBLE / dp.d AS ov
+  FROM depths dp
+  JOIN rank_cos a ON a.rank <= dp.d
+  JOIN rank_eucl b ON b.query_id = a.query_id
+                   AND b.item_id = a.item_id AND b.rank <= dp.d
+  GROUP BY a.query_id, dp.d
+)
+SELECT query_id,
+       round(sum(ov * (0.09999999999999998 * pow(0.9, d - 1))), 6) AS rbo_r
+FROM ov GROUP BY query_id""",
+
+        "map_at_10": f"""
+WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e, label FROM embeddings),
+q AS (SELECT id, e, label FROM emb WHERE id < {IR_N_QUERIES}),
+scored AS (
+  SELECT q.id AS query_id, c.id AS item_id, {cos_qc} AS score
+  FROM q, emb c WHERE q.id <> c.id
+),
+ranked AS (
+  SELECT query_id, item_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, item_id ASC) AS rank
+  FROM scored QUALIFY rank <= {TOPK}
+),
+qrels AS (
+  SELECT q.id AS query_id, c.id AS item_id
+  FROM q JOIN emb c ON q.label = c.label AND q.id <> c.id
+),
+nrel AS (SELECT query_id, count(*) AS n_relevant FROM qrels GROUP BY 1),
+hits AS (
+  SELECT r.query_id, r.rank,
+         row_number() OVER (PARTITION BY r.query_id ORDER BY r.rank)
+           AS n_hits_so_far
+  FROM ranked r JOIN qrels s
+    ON r.query_id = s.query_id AND r.item_id = s.item_id
+),
+ap AS (
+  SELECT query_id, sum(n_hits_so_far::DOUBLE / rank) AS sum_p
+  FROM hits GROUP BY 1
+)
+SELECT q.id AS query_id,
+       round(coalesce(a.sum_p, 0.0)
+             / least(coalesce(n.n_relevant, 1), {TOPK}), 6) AS map_r
+FROM q
+LEFT JOIN ap a ON a.query_id = q.id
+LEFT JOIN nrel n ON n.query_id = q.id""",
+
+        "head_tail": f"""
+WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT id, e FROM emb WHERE id < {N_QUERIES}),
+scored AS (
+  SELECT q.id AS query_id, c.id AS item_id, {cos_qc} AS score
+  FROM q, emb c WHERE q.id <> c.id
+),
+ranked AS (
+  SELECT query_id, item_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, item_id ASC) AS rank
+  FROM scored QUALIFY rank <= {HEADTAIL_TAIL}
+),
+agg AS (
+  SELECT query_id,
+         avg(CASE WHEN rank <= {HEADTAIL_HEAD} THEN score END) AS head_mean,
+         avg(CASE WHEN rank > {HEADTAIL_HEAD} THEN score END) AS tail_mean,
+         stddev_samp(CASE WHEN rank > {HEADTAIL_HEAD} THEN score END) AS tail_std
+  FROM ranked GROUP BY query_id
+)
+SELECT query_id, round(head_mean, 6) AS head_mean_r,
+       round(tail_mean, 6) AS tail_mean_r,
+       round(tail_std, 6) AS tail_std_r,
+       round(tail_mean / head_mean, 6) AS tail_head_ratio_r
+FROM agg""",
+
+        "nearest_anchor": f"""
+WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT id, e FROM emb WHERE id < {N_QUERIES}),
+d AS (
+  SELECT q.id AS query_id, c.id AS item_id,
+         list_distance(q.e, c.e) AS dist
+  FROM q, emb c WHERE q.id <> c.id
+),
+ranked AS (
+  SELECT query_id, item_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, item_id ASC) AS rn
+  FROM d
+)
+SELECT query_id, item_id AS anchor_id, round(dist, 6) AS dist_r
+FROM ranked WHERE rn = 1""",
 
         "embedding_near_dups": f"""
 WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings)

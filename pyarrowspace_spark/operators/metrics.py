@@ -126,6 +126,53 @@ def spearman_rho(rank_a: DataFrame, rank_b: DataFrame) -> DataFrame:
     )
 
 
+def kendall_tau(rank_a: DataFrame, rank_b: DataFrame) -> DataFrame:
+    """Kendall τ between two rankings on shared items per query
+    (reference tests/test_2_CVE_db.py:159-174): (C - D) / (n(n-1)/2)
+    over all item pairs — an O(k²)-per-query pair join, fine for the
+    top-k lists this is used on (k ≤ 25 in the reference harness)."""
+    j = rank_a.select("query_id", "item_id", F.col("rank").alias("ra")).join(
+        rank_b.select("query_id", "item_id", F.col("rank").alias("rb")),
+        ["query_id", "item_id"],
+    )
+    pairs = (
+        j.alias("x")
+        .join(j.alias("y"),
+              (F.col("x.query_id") == F.col("y.query_id"))
+              & (F.col("x.item_id") < F.col("y.item_id")))
+        .select(
+            F.col("x.query_id").alias("query_id"),
+            (F.signum(F.col("x.ra") - F.col("y.ra"))
+             * F.signum(F.col("x.rb") - F.col("y.rb"))).alias("concord"),
+        )
+    )
+    n = j.groupBy("query_id").agg(F.count("*").alias("n"))
+    s = pairs.groupBy("query_id").agg(F.sum("concord").alias("s"))
+    return n.join(s, "query_id").select(
+        "query_id",
+        (F.col("s") / (F.col("n") * (F.col("n") - 1) / 2)).alias("kendall"),
+    )
+
+
+def head_tail_stats(rankings: DataFrame, head_k: int = 3,
+                    tail_k: int = 15) -> DataFrame:
+    """Head/tail score-distribution stats per query (reference tail
+    analysis, tests/test_2_CVE_db.py:201-243): head mean (ranks
+    1..head_k), tail mean/std (ranks head_k+1..tail_k), tail/head
+    ratio. Expects a `score` column."""
+    in_range = rankings.filter(F.col("rank") <= tail_k)
+    is_head = F.col("rank") <= head_k
+    agg = in_range.groupBy("query_id").agg(
+        F.avg(F.when(is_head, F.col("score"))).alias("head_mean"),
+        F.avg(F.when(~is_head, F.col("score"))).alias("tail_mean"),
+        F.stddev_samp(F.when(~is_head, F.col("score"))).alias("tail_std"),
+    )
+    return agg.select(
+        "query_id", "head_mean", "tail_mean", "tail_std",
+        (F.col("tail_mean") / F.col("head_mean")).alias("tail_head_ratio"),
+    )
+
+
 def rbo(rank_a: DataFrame, rank_b: DataFrame, p: float = 0.9,
         max_depth: int = 10) -> DataFrame:
     """Rank-biased overlap at depths 1..max_depth

@@ -1,0 +1,166 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+Scale path for similarity search (north-star LLM-pipeline operator):
+
+- `ann_cosine_topk` — sign-random-projection LSH: T hash tables of
+  B hyperplanes each; a vector's bucket in table t is the sign
+  pattern of its projections. Candidates = union over tables of
+  same-bucket items (bucket-local shuffle joins — the N×corpus scan
+  never happens), then exact cosine rescore + top-k window.
+- Hyperplanes are seeded and embedded as plan literals, so the whole
+  operator is deterministic and replayable in SQL by the oracle.
+
+Brute-force baseline lives in operators/search.brute_force_cosine_topk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+DEFAULT_N_TABLES = 4
+DEFAULT_N_PLANES = 8
+
+
+def lsh_hyperplanes(dim: int, n_tables: int = DEFAULT_N_TABLES,
+                    n_planes: int = DEFAULT_N_PLANES,
+                    seed: int = 42) -> np.ndarray:
+    """Deterministic (n_tables, n_planes, dim) Gaussian hyperplanes."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
+def _bucket_expr(feat_col: str, table_planes: np.ndarray):
+    """Bucket id = Σ_j [dot(v, h_j) > 0]·2^j as a JVM-side expression
+    (sequential fold — the same arithmetic the SQL oracle runs)."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(table_planes):
+        h = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(V.dot(F.col(feat_col), h) > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def with_lsh_buckets(df: DataFrame, planes: np.ndarray,
+                     feat_col: str = "features") -> DataFrame:
+    for t in range(planes.shape[0]):
+        df = df.withColumn(f"bucket_{t}", _bucket_expr(feat_col, planes[t]))
+    return df
+
+
+def ann_cosine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int,
+    planes: np.ndarray,
+    id_col: str = "item_id",
+    feat_col: str = "features",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k: bucket-join candidates, exact rescore.
+
+    Returns DataFrame[query_id, item_id, score, rank] with rank over
+    the candidate set only (recall < 1 by design; brute force is the
+    oracle for recall measurement).
+    """
+    n_tables = planes.shape[0]
+    it = with_lsh_buckets(
+        items.select(F.col(id_col), F.col(feat_col)), planes, feat_col
+    )
+    qu = with_lsh_buckets(
+        queries.select(F.col(query_id_col),
+                       F.col(feat_col).alias("q_features")),
+        planes, "q_features",
+    )
+    cands = None
+    for t in range(n_tables):
+        c = qu.select(query_id_col, "q_features", f"bucket_{t}").join(
+            it.select(id_col, feat_col, f"bucket_{t}"), f"bucket_{t}"
+        ).select(query_id_col, "q_features", id_col, feat_col)
+        cands = c if cands is None else cands.unionAll(c)
+    cands = cands.dropDuplicates([query_id_col, id_col])
+    scored = cands.select(
+        query_id_col, id_col,
+        V.cosine_similarity("q_features", feat_col).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
+    )
+
+
+def ivf_centroids(items: DataFrame, n_centroids: int, seed: int = 42,
+                  id_col: str = "item_id",
+                  feat_col: str = "features") -> np.ndarray:
+    """IVF coarse quantizer: seeded MLlib KMeans centroids (driver-side
+    array, broadcastable). The IVF index assigns each item to its
+    nearest centroid; queries probe the closest `n_probe` cells."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = items.select(array_to_vector(F.col(feat_col)).alias("fv"))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="fv", maxIter=20)
+    model = km.fit(vecs)
+    return np.array(model.clusterCenters())
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               feat_col: str = "features",
+               out_col: str = "cell", n_probe: int = 1) -> DataFrame:
+    """Assign each row to its `n_probe` nearest centroid cells
+    (L2), vectorized with a broadcast centroid matrix."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    spark = df.sparkSession
+    b_c = spark.sparkContext.broadcast(centroids)
+    np_probe = int(n_probe)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def cells(feats: pd.Series) -> pd.Series:
+        C = b_c.value
+        X = np.stack(feats.to_numpy())
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argsort(d2, axis=1)[:, :np_probe]
+        return pd.Series([row.tolist() for row in idx])
+
+    return df.withColumn(out_col, cells(F.col(feat_col)))
+
+
+def ivf_cosine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: np.ndarray,
+    n_probe: int = 2,
+    id_col: str = "item_id",
+    feat_col: str = "features",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN: items live in 1 cell, queries probe n_probe cells;
+    exact cosine rescore within probed cells."""
+    it = ivf_assign(items.select(id_col, feat_col), centroids,
+                    feat_col, "cells", n_probe=1)
+    it = it.select(id_col, feat_col, F.explode("cells").alias("cell"))
+    qu = ivf_assign(
+        queries.select(query_id_col, F.col(feat_col).alias("q_features")),
+        centroids, "q_features", "cells", n_probe=n_probe,
+    ).select(query_id_col, "q_features", F.explode("cells").alias("cell"))
+    cands = qu.join(it, "cell").dropDuplicates([query_id_col, id_col])
+    scored = cands.select(
+        query_id_col, id_col,
+        V.cosine_similarity("q_features", feat_col).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
+    )
