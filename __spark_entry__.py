@@ -509,6 +509,119 @@ def q_nearest_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIFF_ETA = 0.05
+DIFF_STEPS = 2
+
+
+def q_energy_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heat-diffusion smoothing x ← x − η·L·x, 2 steps (SURVEY §2 G12)
+    — oracle-checked as exploded (item, feature_idx, value) rows."""
+    from pyarrowspace_spark.operators import energy as E
+    from pyarrowspace_spark.operators import knn as KNN2
+
+    items = _items(spark, sf_dir).select("item_id", "features")
+    params = GraphParams(eps=KNN_EPS, k=KNN_K, topk=TOPK, p=KNN_P,
+                         sigma=KNN_SIGMA)
+    edges = KNN2.knn_edges(items, params, strategy="exact")
+    out = E.diffuse(items, edges, DIFF_ETA, DIFF_STEPS)
+    return out.select(
+        "item_id", F.posexplode("features").alias("fi", "v")
+    ).select("item_id", F.col("fi").cast("long").alias("fi"),
+             F.round("v", 6).alias("v_r"))
+
+
+def q_energy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-only (cosine-free) search over the compressed optical-
+    token index (SURVEY §2 G13-G15). Deterministic but KMeans-based —
+    not SQL-expressible, so the driver records the rows-only check."""
+    import numpy as np
+
+    from pyarrowspace_spark.operators import energy as E
+    from pyarrowspace_spark.params import EnergyParams
+
+    _ship_package(spark)
+    items = _items(spark, sf_dir).select("item_id", "features")
+    idx = E.build_energy(
+        items,
+        EnergyParams(optical_tokens=40, eta=DIFF_ETA, steps=DIFF_STEPS,
+                     trim_quantile=0.1),
+        GraphParams(eps=KNN_EPS, k=KNN_K, topk=TOPK, p=KNN_P,
+                    sigma=KNN_SIGMA),
+    )
+    qrows = idx.items.filter(F.col("item_id").isin(list(LAMBDA_QIDS))).collect()
+    out = None
+    for r in sorted(qrows, key=lambda r: r["item_id"]):
+        hits = E.search_energy(idx, np.array(r["features"]), k=TOPK)
+        hits = hits.select(F.lit(r["item_id"]).alias("query_id"),
+                           "item_id", "rank", F.round("score", 5).alias("score_r"))
+        out = hits if out is None else out.unionAll(hits)
+    return out.select("query_id", "item_id",
+                      F.col("rank").cast("long").alias("rank"), "score_r")
+
+
+PPR_ALPHA = 0.85
+PPR_ITERS = 8
+LPA_ITERS = 4
+
+
+def _knn_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = _items(spark, sf_dir).select("item_id", "features")
+    params = GraphParams(eps=KNN_EPS, k=KNN_K, topk=TOPK, p=KNN_P,
+                         sigma=KNN_SIGMA)
+    return KNN.knn_edges(items, params, strategy="exact")
+
+
+def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance of the label-0 item set over the λτ-graph
+    (SURVEY §2 G19)."""
+    from pyarrowspace_spark.operators import topology as TOP
+
+    edges = _knn_edges_df(spark, sf_dir).persist()
+    node_set = _items(spark, sf_dir).filter(F.col("label") == 0).select(
+        F.col("item_id").alias("node")
+    )
+    phi = TOP.conductance(edges, node_set)
+    return spark.createDataFrame([(round(phi, 6),)], "conductance_r double")
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community modularity terms with label communities over the
+    λτ-graph (SURVEY §2 G20)."""
+    from pyarrowspace_spark.operators import topology as TOP
+
+    edges = _knn_edges_df(spark, sf_dir).persist()
+    comms = _items(spark, sf_dir).select(
+        F.col("item_id").alias("node"), F.col("label").alias("community")
+    )
+    out = TOP.modularity(edges, comms)
+    return out.select(
+        F.col("community").cast("long").alias("community"),
+        F.round("in_weight", 6).alias("in_weight_r"),
+        F.round("deg_sum", 6).alias("deg_sum_r"),
+        F.round("q_c", 8).alias("q_c_r"),
+    )
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted LPA communities (SURVEY §2 G17)."""
+    from pyarrowspace_spark.operators import topology as TOP
+
+    edges = _knn_edges_df(spark, sf_dir).persist()
+    out = TOP.label_propagation(edges, iters=LPA_ITERS)
+    return out.select("node", F.col("community").cast("long").alias("community"))
+
+
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from 3 source nodes, fixed-iteration
+    power method (SURVEY §2 G18)."""
+    from pyarrowspace_spark.operators import topology as TOP
+
+    edges = _knn_edges_df(spark, sf_dir).persist()
+    out = TOP.personalized_pagerank(edges, list(LAMBDA_QIDS),
+                                    alpha=PPR_ALPHA, iters=PPR_ITERS)
+    return out.select("source", "node", F.round("ppr", 8).alias("ppr_r"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cosine_topk": q_cosine_topk,
@@ -535,6 +648,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_at_10": q_map_at_10,
         "head_tail": q_head_tail,
         "nearest_anchor": q_nearest_anchor,
+        "energy_diffusion": q_energy_diffusion,
+        "energy_search": q_energy_search,
+        "conductance": q_conductance,
+        "modularity": q_modularity,
+        "label_propagation": q_label_propagation,
+        "ppr": q_ppr,
     }
 
 
@@ -742,6 +861,50 @@ rank_eucl AS (
                             ORDER BY eucl ASC, item_id ASC) AS rank
   FROM base QUALIFY rank <= {RANKCORR_K}
 )"""
+
+
+def _sql_lpa_blocks() -> str:
+    """LPA_ITERS chained label-propagation CTE blocks."""
+    blocks = ["lab0 AS (SELECT DISTINCT src AS node, src AS community FROM bothdir)"]
+    for t in range(LPA_ITERS):
+        blocks.append(f"""
+v{t} AS (
+  SELECT b.dst AS node, l.community, sum(b.weight) AS w
+  FROM bothdir b JOIN lab{t} l ON l.node = b.src
+  GROUP BY b.dst, l.community),
+p{t} AS (
+  SELECT node, community FROM (
+    SELECT node, community,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY w DESC, community ASC) AS rn
+    FROM v{t}) WHERE rn = 1),
+lab{t + 1} AS (
+  SELECT l.node, coalesce(p.community, l.community) AS community
+  FROM lab{t} l LEFT JOIN p{t} p USING (node))""")
+    return ",".join(blocks)
+
+
+def _sql_ppr_blocks() -> str:
+    """PPR_ITERS chained power-iteration CTE blocks."""
+    src_vals = ", ".join(f"({s}, {s}, 1.0)" for s in LAMBDA_QIDS)
+    restart_vals = ", ".join(f"({s}, {s})" for s in LAMBDA_QIDS)
+    blocks = [f"""
+deg AS (SELECT src AS node, sum(weight) AS degree FROM bothdir GROUP BY 1),
+trans AS (
+  SELECT b.src, b.dst, b.weight / d.degree AS p
+  FROM bothdir b JOIN deg d ON d.node = b.src),
+restart(source, node) AS (VALUES {restart_vals}),
+ppr0(source, node, ppr) AS (VALUES {src_vals})"""]
+    for t in range(PPR_ITERS):
+        blocks.append(f"""
+ppr{t + 1} AS (
+  SELECT source, node, sum(v) AS ppr FROM (
+    SELECT p.source, t.dst AS node, {PPR_ALPHA} * p.ppr * t.p AS v
+    FROM ppr{t} p JOIN trans t ON t.src = p.node
+    UNION ALL
+    SELECT source, node, {1.0 - PPR_ALPHA} AS v FROM restart
+  ) GROUP BY 1, 2)""")
+    return ",".join(blocks)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1176,6 +1339,88 @@ ranked AS (
 )
 SELECT query_id, item_id AS anchor_id, round(dist, 6) AS dist_r
 FROM ranked WHERE rn = 1""",
+
+        "energy_diffusion": f"""
+WITH {_sql_knn_edges_cte()},
+bothdir AS (SELECT src, dst, weight FROM edges
+            UNION ALL SELECT dst, src, weight FROM edges),
+deg AS (SELECT src AS id, sum(weight) AS d FROM bothdir GROUP BY 1),
+f0 AS (SELECT id, unnest(e) AS v, generate_subscripts(e,1) - 1 AS fi FROM emb),
+n0 AS (
+  SELECT e.dst AS id, f.fi, sum(e.weight * f.v) AS s
+  FROM bothdir e JOIN f0 f ON f.id = e.src GROUP BY 1, 2),
+d1 AS (
+  SELECT f0.id, f0.fi,
+         (1 - {DIFF_ETA} * coalesce(deg.d, 0)) * f0.v
+         + {DIFF_ETA} * coalesce(n0.s, 0) AS v
+  FROM f0 LEFT JOIN deg ON deg.id = f0.id
+  LEFT JOIN n0 ON n0.id = f0.id AND n0.fi = f0.fi),
+n1 AS (
+  SELECT e.dst AS id, f.fi, sum(e.weight * f.v) AS s
+  FROM bothdir e JOIN d1 f ON f.id = e.src GROUP BY 1, 2),
+d2 AS (
+  SELECT d1.id, d1.fi,
+         (1 - {DIFF_ETA} * coalesce(deg.d, 0)) * d1.v
+         + {DIFF_ETA} * coalesce(n1.s, 0) AS v
+  FROM d1 LEFT JOIN deg ON deg.id = d1.id
+  LEFT JOIN n1 ON n1.id = d1.id AND n1.fi = d1.fi)
+SELECT id AS item_id, CAST(fi AS BIGINT) AS fi, round(v, 6) AS v_r FROM d2""",
+
+        "conductance": f"""
+WITH {_sql_knn_edges_cte()},
+s AS (SELECT vec_id AS node FROM embeddings WHERE label = 0),
+marked AS (
+  SELECT e.weight,
+         CASE WHEN a.node IS NOT NULL THEN 1 ELSE 0 END AS si,
+         CASE WHEN b.node IS NOT NULL THEN 1 ELSE 0 END AS di
+  FROM edges e
+  LEFT JOIN s a ON a.node = e.src
+  LEFT JOIN s b ON b.node = e.dst),
+agg AS (
+  SELECT sum(CASE WHEN si <> di THEN weight ELSE 0 END) AS cut,
+         sum((si + di) * weight) AS vol_s,
+         sum(2.0 * weight) AS vol_total
+  FROM marked)
+SELECT round(cut / least(vol_s, vol_total - vol_s), 6) AS conductance_r
+FROM agg""",
+
+        "modularity": f"""
+WITH {_sql_knn_edges_cte()},
+bothdir AS (SELECT src, dst, weight FROM edges
+            UNION ALL SELECT dst, src, weight FROM edges),
+comm AS (SELECT vec_id AS node, label AS community FROM embeddings),
+m AS (SELECT sum(weight) AS m FROM edges),
+inw AS (
+  SELECT a.community, sum(e.weight) AS in_weight
+  FROM edges e
+  JOIN comm a ON a.node = e.src
+  JOIN comm b ON b.node = e.dst AND b.community = a.community
+  GROUP BY 1),
+deg AS (
+  SELECT c.community, sum(d.degree) AS deg_sum FROM
+    (SELECT src AS node, sum(weight) AS degree FROM bothdir GROUP BY 1) d
+  JOIN comm c ON c.node = d.node
+  GROUP BY 1)
+SELECT CAST(d.community AS BIGINT) AS community,
+       round(coalesce(i.in_weight, 0.0), 6) AS in_weight_r,
+       round(d.deg_sum, 6) AS deg_sum_r,
+       round(coalesce(i.in_weight, 0.0) / (SELECT m FROM m)
+             - pow(d.deg_sum / (2.0 * (SELECT m FROM m)), 2), 8) AS q_c_r
+FROM deg d LEFT JOIN inw i ON i.community = d.community""",
+
+        "label_propagation": f"""
+WITH {_sql_knn_edges_cte()},
+bothdir AS (SELECT src, dst, weight FROM edges
+            UNION ALL SELECT dst, src, weight FROM edges),
+{_sql_lpa_blocks()}
+SELECT node, CAST(community AS BIGINT) AS community FROM lab{LPA_ITERS}""",
+
+        "ppr": f"""
+WITH {_sql_knn_edges_cte()},
+bothdir AS (SELECT src, dst, weight FROM edges
+            UNION ALL SELECT dst, src, weight FROM edges),
+{_sql_ppr_blocks()}
+SELECT source, node, round(ppr, 8) AS ppr_r FROM ppr{PPR_ITERS}""",
 
         "embedding_near_dups": f"""
 WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings)
