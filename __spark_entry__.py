@@ -622,6 +622,43 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "node", F.round("ppr", 8).alias("ppr_r"))
 
 
+MEDIA_FRAME_MS = 500
+MEDIA_NF = 16
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan over the multimodal media table
+    (binary payload + typed metadata) derived from documents — one row
+    per sampled timestamp via explode(sequence(...))."""
+    from pyarrowspace_spark.multimodal import binary_ops as MM
+
+    docs = loaders.load_table(spark, sf_dir, "documents")
+    media = MM.media_table_from_documents(docs)
+    out = MM.sample_frames(media, every_ms=MEDIA_FRAME_MS)
+    return out.select(
+        "media_id",
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+        F.col("payload_bytes").cast("long").alias("payload_bytes"),
+    )
+
+
+def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → histogram feature extraction over binary media payloads
+    (Arrow-batched mapInPandas; codec stubbed deterministically — not
+    SQL-expressible, so the driver records the rows-only check)."""
+    from pyarrowspace_spark.multimodal import binary_ops as MM
+
+    _ship_package(spark)
+    docs = loaders.load_table(spark, sf_dir, "documents")
+    media = MM.media_table_from_documents(docs)
+    out = MM.decode_features(media, n_features=MEDIA_NF)
+    return out.select(
+        "media_id", "kind",
+        F.round(F.element_at("features", 1), 6).alias("f0_r"),
+        F.round(F.element_at("features", MEDIA_NF), 6).alias("f_last_r"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cosine_topk": q_cosine_topk,
@@ -654,6 +691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "label_propagation": q_label_propagation,
         "ppr": q_ppr,
+        "media_frame_sample": q_media_frame_sample,
+        "media_decode_features": q_media_decode_features,
     }
 
 
@@ -1428,4 +1467,14 @@ SELECT a.id AS id_a, b.id AS id_b,
        round({_SQL_COS.format(a='a.e', b='b.e')}, 6) AS cos_r
 FROM emb a JOIN emb b ON a.id < b.id
 WHERE {_SQL_COS.format(a='a.e', b='b.e')} >= {NEARDUP_COS_T}""",
+
+        # media_decode_features intentionally absent: the deterministic
+        # codec stub (sha256-seeded histogram) is not SQL-expressible;
+        # the driver records the weaker rows-only check for it.
+        "media_frame_sample": f"""
+SELECT doc_id AS media_id,
+       unnest(generate_series(0, octet_length(encode(text)) * 10,
+                              {MEDIA_FRAME_MS}))::BIGINT AS frame_ms,
+       octet_length(encode(text))::BIGINT AS payload_bytes
+FROM documents WHERE doc_id % 3 = 2""",
     }
