@@ -624,6 +624,110 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MEDIA_FRAME_MS = 500
 MEDIA_NF = 16
+RP_K = 8
+N_FEATURES = 64
+TTEST_HEAD_K = 3
+
+
+def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`search_hybrid` entry point (SURVEY §2 G6): the crate-internal
+    hybrid blend is unpublished, pinned == lambda-aware (SURVEY §2.11);
+    oracle-checked against the same SQL as lambda_search."""
+    from pyarrowspace_spark.builder import ArrowSpaceBuilder
+    from pyarrowspace_spark.operators.search import search_hybrid
+
+    _ship_package(spark)
+    items = _items(spark, sf_dir).select("item_id", "features")
+    idx = ArrowSpaceBuilder.build(
+        items,
+        {"eps": KNN_EPS, "k": KNN_K, "topk": TOPK, "p": KNN_P, "sigma": KNN_SIGMA},
+        strategy="exact",
+    )
+    queries_df = items.filter(F.col("item_id").isin(list(LAMBDA_QIDS))).select(
+        F.col("item_id").alias("query_id"),
+        F.transform("features", lambda x: x * F.lit(1.05)).alias("features"),
+    )
+    out = search_hybrid(idx.items, idx.feature_laplacian, queries_df,
+                        tau=LAMBDA_TAU, k=TOPK)
+    return out.select(
+        "query_id", "item_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
+def q_graph_sparsity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph sparsity report (SURVEY §2 G10, reference
+    with_sparsity_check src/lib.rs:286): 1 - nnz/N² over the symmetric
+    adjacency of the λτ-graph."""
+    from pyarrowspace_spark.operators.knn import sparsity
+
+    items = _items(spark, sf_dir).select("item_id", "features")
+    n = items.count()
+    edges = _knn_edges_df(spark, sf_dir)
+    n_edges = edges.count()
+    sp = sparsity(edges, n)
+    return spark.createDataFrame(
+        [(int(n), int(n_edges), round(sp, 8))],
+        "n_items long, n_edges long, sparsity_r double",
+    )
+
+
+def q_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate + auto-K (SURVEY §2 G8,
+    reference 'intrinsic dim via 2-NN ratios' + auto-K log)."""
+    from pyarrowspace_spark.operators import dimred as DR
+
+    items = _items(spark, sf_dir).select("item_id", "features")
+    n = items.count()
+    row = DR.two_nn_intrinsic_dim(items).collect()[0]
+    k = DR.auto_k_estimate(n, row["id_mle"])
+    return spark.createDataFrame(
+        [(int(row["n_used"]), round(row["id_mle"], 6), int(k))],
+        "n_used long, id_mle_r double, auto_k long",
+    )
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rademacher random projection to RP_K dims (SURVEY §2 G9 pinned
+    method): narrow JVM expression over literal ±1 sign vectors — no
+    shuffle, no UDF, identical plan at any scale."""
+    from pyarrowspace_spark.operators import dimred as DR
+
+    items = _items(spark, sf_dir).select("item_id", "features")
+    out = DR.random_project(items, RP_K, N_FEATURES)
+    cols = [F.round(F.element_at("proj", j + 1), 6).alias(f"p{j}_r")
+            for j in range(RP_K)]
+    return out.select("item_id", *cols)
+
+
+def q_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t-test (SURVEY §2 M10) on per-query head-mean vs
+    tail-mean cosine score — significance of head/tail separation
+    (reference pairs taumode-vs-cosine metrics the same way)."""
+    from pyarrowspace_spark.operators import metrics as MT
+
+    items = _items(spark, sf_dir).select("item_id", "features")
+    queries_df = items.filter(F.col("item_id") < IR_N_QUERIES).select(
+        F.col("item_id").alias("query_id"), "features"
+    )
+    ranked = brute_force_cosine_topk(
+        items, queries_df, TOPK + 1
+    ).filter(F.col("query_id") != F.col("item_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("rank")
+    ranked = ranked.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOPK)
+    head = ranked.filter(F.col("rank") <= TTEST_HEAD_K).groupBy(
+        "query_id").agg(F.avg("score").alias("value"))
+    tail = ranked.filter(F.col("rank") > TTEST_HEAD_K).groupBy(
+        "query_id").agg(F.avg("score").alias("value"))
+    out = MT.paired_ttest(head, tail)
+    return out.select(
+        "n", F.round("mean_diff", 6).alias("mean_diff_r"),
+        F.round("std_diff", 6).alias("std_diff_r"),
+        F.round("t_stat", 6).alias("t_stat_r"),
+    )
 
 
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,6 +797,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr": q_ppr,
         "media_frame_sample": q_media_frame_sample,
         "media_decode_features": q_media_decode_features,
+        "search_hybrid": q_search_hybrid,
+        "graph_sparsity": q_graph_sparsity,
+        "intrinsic_dim": q_intrinsic_dim,
+        "random_projection": q_random_projection,
+        "paired_ttest": q_paired_ttest,
     }
 
 
@@ -946,9 +1055,28 @@ ppr{t + 1} AS (
     return ",".join(blocks)
 
 
+def _sql_random_projection() -> str:
+    """Projection oracle: the same md5-derived ±1 sign vectors embedded
+    as list literals (the sign matrix is engine-portable by design)."""
+    import math
+
+    from pyarrowspace_spark.operators.dimred import rademacher_signs
+
+    signs = rademacher_signs(N_FEATURES, RP_K)
+    inv = 1.0 / math.sqrt(RP_K)
+    cols = []
+    for j in range(RP_K):
+        lit = "[" + ", ".join(f"{float(s)!r}" for s in signs[:, j]) + "]"
+        cols.append(
+            f"round(list_dot_product(e, {lit}) * {inv!r}, 6) AS p{j}_r")
+    return f"""
+WITH emb AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT item_id, {', '.join(cols)} FROM emb"""
+
+
 def oracle_sql() -> dict[str, str]:
     cos_qc = _SQL_COS.format(a="q.e", b="c.e")
-    return {
+    d = {
         "cosine_topk": f"""
 WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
 q AS (SELECT id, e FROM emb WHERE id < {N_QUERIES}),
@@ -1477,4 +1605,63 @@ SELECT doc_id AS media_id,
                               {MEDIA_FRAME_MS}))::BIGINT AS frame_ms,
        octet_length(encode(text))::BIGINT AS payload_bytes
 FROM documents WHERE doc_id % 3 = 2""",
+
+        "graph_sparsity": f"""
+WITH {_sql_knn_edges_cte()},
+n AS (SELECT count(*) AS n FROM emb),
+ne AS (SELECT count(*) AS ne FROM edges)
+SELECT (SELECT n FROM n)::BIGINT AS n_items,
+       (SELECT ne FROM ne)::BIGINT AS n_edges,
+       round(1.0 - 2.0 * (SELECT ne FROM ne)
+             / pow((SELECT n FROM n), 2), 8) AS sparsity_r""",
+
+        "intrinsic_dim": f"""
+WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+pair AS (SELECT a.id AS i, b.id AS j, list_distance(a.e, b.e) AS d
+         FROM emb a, emb b WHERE a.id <> b.id),
+rk AS (SELECT i, j, d,
+       row_number() OVER (PARTITION BY i ORDER BY d ASC, j ASC) AS rn
+       FROM pair),
+two AS (SELECT i, max(CASE WHEN rn = 1 THEN d END) AS d1,
+               max(CASE WHEN rn = 2 THEN d END) AS d2
+        FROM rk WHERE rn <= 2 GROUP BY i),
+mu AS (SELECT d2 / d1 AS mu FROM two WHERE d1 > 0),
+est AS (SELECT count(*) AS n_used, count(*) / sum(ln(mu)) AS id FROM mu),
+n AS (SELECT count(*) AS n FROM emb)
+SELECT n_used::BIGINT AS n_used, round(id, 6) AS id_mle_r,
+       greatest(2, least(
+         CAST(ceil(sqrt((SELECT n FROM n) * greatest(id, 1.0))) AS BIGINT),
+         greatest(2, (SELECT n FROM n) // 2)))::BIGINT AS auto_k
+FROM est""",
+
+        "random_projection": _sql_random_projection(),
+
+        "paired_ttest": f"""
+WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT id, e FROM emb WHERE id < {IR_N_QUERIES}),
+base AS (
+  SELECT q.id AS query_id, c.id AS item_id,
+         {_SQL_COS.format(a='q.e', b='c.e')} AS cos
+  FROM q, emb c),
+rk AS (SELECT query_id, item_id, cos,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, item_id ASC) AS rank
+       FROM base QUALIFY rank <= {TOPK + 1}),
+rr AS (SELECT query_id, cos,
+       row_number() OVER (PARTITION BY query_id ORDER BY rank) AS rank2
+       FROM (SELECT * FROM rk WHERE query_id <> item_id)
+       QUALIFY rank2 <= {TOPK}),
+h AS (SELECT query_id, avg(cos) AS v FROM rr
+      WHERE rank2 <= {TTEST_HEAD_K} GROUP BY 1),
+t AS (SELECT query_id, avg(cos) AS v FROM rr
+      WHERE rank2 > {TTEST_HEAD_K} GROUP BY 1),
+d AS (SELECT h.v - t.v AS d FROM h JOIN t USING (query_id))
+SELECT count(*)::BIGINT AS n, round(avg(d), 6) AS mean_diff_r,
+       round(stddev_samp(d), 6) AS std_diff_r,
+       round(avg(d) / (stddev_samp(d) / sqrt(count(*))), 6) AS t_stat_r
+FROM d""",
     }
+    # hybrid is pinned == lambda-aware (G6 spec gap, SURVEY §2.11):
+    # same inputs, same SQL twin.
+    d["search_hybrid"] = d["lambda_search"]
+    return d

@@ -196,3 +196,27 @@ def rbo(rank_a: DataFrame, rank_b: DataFrame, p: float = 0.9,
         term = F.coalesce(F.col(f"ov_{d}"), F.lit(0.0)) * F.lit(w_)
         expr = term if expr is None else expr + term
     return out.select("query_id", expr.alias("rbo"))
+
+
+def paired_ttest(metric_a: DataFrame, metric_b: DataFrame,
+                 value_col: str = "value") -> DataFrame:
+    """Paired t-test over per-query metric pairs (reference
+    tests/test_3_beir.py:357-381 uses scipy.stats.ttest_rel; same
+    statistic in closed form from aggregate moments — no scipy, no
+    collect): t = mean(d) / (stddev_samp(d)/sqrt(n)), d = a - b.
+
+    Inputs: DataFrame[query_id, value] each. Output one row
+    [n, mean_diff, std_diff, t_stat]. The p-value lookup is a
+    t-CDF — left to the caller (deterministic given n and t).
+    """
+    joined = metric_a.select("query_id", F.col(value_col).alias("a")).join(
+        metric_b.select("query_id", F.col(value_col).alias("b")), "query_id"
+    )
+    d = joined.select((F.col("a") - F.col("b")).alias("d"))
+    return d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("d").alias("mean_diff"),
+        F.stddev_samp("d").alias("std_diff"),
+        (F.avg("d") / (F.stddev_samp("d") / F.sqrt(F.count("*"))))
+        .alias("t_stat"),
+    )

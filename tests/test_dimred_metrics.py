@@ -1,0 +1,65 @@
+"""Dims-reduction / intrinsic-dim (SURVEY §2 G8-G9) and paired t-test
+(M10) operator units — numpy is the ground truth."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyarrowspace_spark.operators import dimred as DR
+from pyarrowspace_spark.operators import metrics as MT
+
+
+def test_rademacher_signs_deterministic_pm1():
+    s1 = DR.rademacher_signs(24, 4)
+    s2 = DR.rademacher_signs(24, 4)
+    assert (s1 == s2).all()
+    assert set(np.unique(s1)) <= {-1, 1}
+    # different tag → different matrix
+    assert (DR.rademacher_signs(24, 4, tag="other") != s1).any()
+
+
+def test_random_project_matches_numpy(spark, test0_items_df):
+    k = 4
+    out = DR.random_project(test0_items_df, k, 24).collect()
+    signs = DR.rademacher_signs(24, k).astype(np.float64)
+    rows = {r["item_id"]: r["features"] for r in test0_items_df.collect()}
+    for r in out:
+        want = (np.array(rows[r["item_id"]]) @ signs) / math.sqrt(k)
+        assert np.allclose(r["proj"], want, atol=1e-12)
+
+
+def test_two_nn_intrinsic_dim_plane(spark):
+    # points on a noisy 2-D plane embedded in 8-D → estimate ≈ 2
+    rng = np.random.RandomState(42)
+    pts = np.zeros((300, 8))
+    pts[:, :2] = rng.rand(300, 2)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(pts)],
+        "item_id long, features array<double>")
+    row = DR.two_nn_intrinsic_dim(df).collect()[0]
+    assert row["n_used"] == 300
+    assert 1.4 < row["id_mle"] < 2.8
+
+
+def test_auto_k_estimate_bounds():
+    assert DR.auto_k_estimate(500, 35.0) == min(
+        math.ceil(math.sqrt(500 * 35.0)), 250)
+    assert DR.auto_k_estimate(4, 1.0) == 2       # clamped low
+    assert DR.auto_k_estimate(0, 0.0) == 2       # degenerate input
+
+
+def test_paired_ttest_matches_scipy_formula(spark):
+    a_vals = [0.9, 0.8, 0.95, 0.7, 0.85]
+    b_vals = [0.85, 0.82, 0.90, 0.65, 0.80]
+    a = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(a_vals)], "query_id long, value double")
+    b = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(b_vals)], "query_id long, value double")
+    row = MT.paired_ttest(a, b).collect()[0]
+    d = np.array(a_vals) - np.array(b_vals)
+    t_want = d.mean() / (d.std(ddof=1) / math.sqrt(len(d)))
+    assert row["n"] == 5
+    assert row["mean_diff"] == pytest.approx(d.mean(), abs=1e-12)
+    assert row["t_stat"] == pytest.approx(t_want, abs=1e-9)
