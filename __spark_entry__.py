@@ -763,6 +763,58 @@ def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RBP_P = 0.9
+ERR_MAX_GRADE = 3
+
+
+def q_topology_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topology-weighted IR metric suite (SURVEY §2.8 M8-M9): per-query
+    G-RBP, TD-nDCG, IT-ERR, MRR-Topo, SQI with prefix topology factors
+    over the λτ-graph — oracle-checked end-to-end in pure SQL."""
+    from pyspark.sql import Window
+
+    from pyarrowspace_spark.operators import topo_metrics as TM
+    from pyarrowspace_spark.operators import topology as TOP
+
+    items = _items(spark, sf_dir).select("item_id", "features", "label")
+    queries_df = items.filter(F.col("item_id") < N_QUERIES).select(
+        F.col("item_id").alias("query_id"), "features",
+        F.col("label").alias("ql"))
+    ranked = brute_force_cosine_topk(
+        items, queries_df.select("query_id", "features"), TOPK + 1
+    ).filter(F.col("query_id") != F.col("item_id"))
+    w = Window.partitionBy("query_id").orderBy("rank")
+    rankings = (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .join(items.select("item_id", "label"), "item_id")
+        .join(queries_df.select("query_id", "ql"), "query_id")
+        .select("query_id", "item_id", "rank",
+                (F.col("label") == F.col("ql")).cast("int").alias("rel"))
+    ).persist()
+
+    edges = _knn_edges_df(spark, sf_dir).persist()
+    comms = TOP.label_propagation(edges, iters=LPA_ITERS)
+    ppr = TOP.personalized_pagerank(edges, list(range(N_QUERIES)),
+                                    alpha=PPR_ALPHA, iters=PPR_ITERS)
+    cond_p = TM.prefix_conductance(edges, rankings, TOPK)
+    share_p = TM.prefix_max_share(rankings, comms, TOPK)
+    tfac = TM.topology_factor_prefix(rankings, ppr, cond_p, share_p)
+    ranked_t = rankings.join(tfac.select("query_id", "item_id", "t_factor"),
+                             ["query_id", "item_id"])
+    ga = TM.graph_aware_metrics(ranked_t, TOPK, p=RBP_P,
+                                max_grade=ERR_MAX_GRADE)
+    sq = TM.sqi(rankings, ppr, cond_p, share_p, TOPK)
+    return ga.join(sq, "query_id").select(
+        "query_id",
+        F.round("g_rbp", 6).alias("g_rbp_r"),
+        F.round("td_ndcg", 6).alias("td_ndcg_r"),
+        F.round("it_err", 6).alias("it_err_r"),
+        F.round("mrr_topo", 6).alias("mrr_topo_r"),
+        F.round("sqi", 6).alias("sqi_r"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cosine_topk": q_cosine_topk,
@@ -802,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intrinsic_dim": q_intrinsic_dim,
         "random_projection": q_random_projection,
         "paired_ttest": q_paired_ttest,
+        "topology_metrics": q_topology_metrics,
     }
 
 
@@ -1032,10 +1085,10 @@ lab{t + 1} AS (
     return ",".join(blocks)
 
 
-def _sql_ppr_blocks() -> str:
+def _sql_ppr_blocks(sources=LAMBDA_QIDS) -> str:
     """PPR_ITERS chained power-iteration CTE blocks."""
-    src_vals = ", ".join(f"({s}, {s}, 1.0)" for s in LAMBDA_QIDS)
-    restart_vals = ", ".join(f"({s}, {s})" for s in LAMBDA_QIDS)
+    src_vals = ", ".join(f"({s}, {s}, 1.0)" for s in sources)
+    restart_vals = ", ".join(f"({s}, {s})" for s in sources)
     blocks = [f"""
 deg AS (SELECT src AS node, sum(weight) AS degree FROM bothdir GROUP BY 1),
 trans AS (
@@ -1053,6 +1106,120 @@ ppr{t + 1} AS (
     SELECT source, node, {1.0 - PPR_ALPHA} AS v FROM restart
   ) GROUP BY 1, 2)""")
     return ",".join(blocks)
+
+
+def _sql_topology_metrics() -> str:
+    """Full M8/M9 suite in SQL: λτ-graph → PPR (power iterations) →
+    LPA communities → cosine rankings → prefix conductance/share →
+    T_i → G-RBP / TD-nDCG / IT-ERR / MRR-Topo / SQI."""
+    K = TOPK
+    cos = _SQL_COS.format(a="q.e", b="c.e")
+    return f"""
+WITH {_sql_knn_edges_cte()},
+bothdir AS (SELECT src, dst, weight FROM edges
+            UNION ALL SELECT dst, src, weight FROM edges),
+{_sql_ppr_blocks(tuple(range(N_QUERIES)))},
+{_sql_lpa_blocks()},
+corpus AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e, label
+           FROM embeddings),
+q AS (SELECT * FROM corpus WHERE id < {N_QUERIES}),
+base AS (
+  SELECT q.id AS query_id, c.id AS item_id, q.label AS ql, c.label AS cl,
+         {cos} AS cos
+  FROM q, corpus c),
+rk0 AS (SELECT query_id, item_id, ql, cl,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos DESC, item_id ASC) AS rank
+        FROM base QUALIFY rank <= {K + 1}),
+rankings AS (SELECT query_id, item_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY rank0) AS rank,
+             CASE WHEN ql = cl THEN 1 ELSE 0 END AS rel
+             FROM (SELECT query_id, item_id, ql, cl, rank AS rank0
+                   FROM rk0 WHERE query_id <> item_id)
+             QUALIFY rank <= {K}),
+vt AS (SELECT sum(weight) AS vt FROM bothdir),
+vol AS (SELECT r.query_id, r.rank AS d,
+        sum(coalesce(g.degree, 0)) OVER (PARTITION BY r.query_id
+                                         ORDER BY r.rank) AS vol_s
+        FROM rankings r LEFT JOIN deg g ON g.node = r.item_id),
+es AS (SELECT r.query_id, e.src, e.dst, e.weight, r.rank AS rank_s
+       FROM edges e JOIN rankings r ON r.item_id = e.src),
+ed AS (SELECT r.query_id, e.src, e.dst, e.weight, r.rank AS rank_d
+       FROM edges e JOIN rankings r ON r.item_id = e.dst),
+touched AS (
+  SELECT query_id, src, dst, weight,
+         least(coalesce(rank_s, {K + 1}), coalesce(rank_d, {K + 1})) AS rmin,
+         greatest(coalesce(rank_s, {K + 1}), coalesce(rank_d, {K + 1})) AS rmax
+  FROM es FULL JOIN ed USING (query_id, src, dst, weight)),
+cut AS (
+  SELECT query_id, d, sum(weight) AS cut FROM (
+    SELECT query_id, weight,
+           unnest(range(rmin, least(rmax - 1, {K}) + 1)) AS d
+    FROM touched WHERE rmin <= {K} AND rmax > rmin)
+  GROUP BY 1, 2),
+cond AS (
+  SELECT v.query_id, v.d,
+         CASE WHEN least(v.vol_s, (SELECT vt FROM vt) - v.vol_s) <= 0
+              THEN 1.0
+              ELSE coalesce(c.cut, 0)
+                   / least(v.vol_s, (SELECT vt FROM vt) - v.vol_s) END AS cond
+  FROM vol v LEFT JOIN cut c ON c.query_id = v.query_id AND c.d = v.d),
+labeled AS (
+  SELECT r.query_id, r.rank, coalesce(l.community, -1) AS community
+  FROM rankings r LEFT JOIN lab{LPA_ITERS} l ON l.node = r.item_id),
+cnt AS (SELECT query_id, d, community, count(*) AS n FROM (
+          SELECT query_id, community, unnest(range(rank, {K} + 1)) AS d
+          FROM labeled)
+        GROUP BY 1, 2, 3),
+shr AS (SELECT query_id, d, max(n)::DOUBLE / d AS max_share
+        FROM cnt GROUP BY 1, 2),
+tfac AS (
+  SELECT r.query_id, r.item_id, r.rank, r.rel,
+         0.4 * coalesce(p.ppr, 0.0) + 0.3 * (1.0 - c.cond)
+         + 0.3 * s.max_share AS t
+  FROM rankings r
+  LEFT JOIN ppr{PPR_ITERS} p ON p.source = r.query_id AND p.node = r.item_id
+  JOIN cond c ON c.query_id = r.query_id AND c.d = r.rank
+  JOIN shr s ON s.query_id = r.query_id AND s.d = r.rank),
+terms AS (
+  SELECT *, exp(coalesce(
+    sum(ln(1.0 - rel / {ERR_MAX_GRADE}.0 * t))
+      OVER (PARTITION BY query_id ORDER BY rank
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)) AS ns
+  FROM tfac),
+agg AS (
+  SELECT query_id,
+         sum({1.0 - RBP_P} * rel * pow({RBP_P}, rank - 1) * t) AS g_rbp,
+         sum((pow(2.0, rel) - 1.0) * t / log2(rank + 1)) AS td_dcg,
+         max(t) AS max_t,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_rel,
+         sum(ns * rel / {ERR_MAX_GRADE}.0 * t / rank) AS it_err,
+         min(CASE WHEN rel > 0 THEN rank END) AS first_rel
+  FROM terms GROUP BY 1),
+lut(n, v) AS (VALUES {_IDCG_LUT}),
+pprsum AS (
+  SELECT r.query_id, sum(coalesce(p.ppr, 0.0)) AS s
+  FROM rankings r
+  LEFT JOIN ppr{PPR_ITERS} p ON p.source = r.query_id AND p.node = r.item_id
+  GROUP BY 1),
+sqiv AS (
+  SELECT c.query_id,
+         0.4 * (1.0 - c.cond) + 0.3 * s.max_share + 0.3 * ps.s AS sqi
+  FROM cond c
+  JOIN shr s ON s.query_id = c.query_id AND s.d = c.d
+  JOIN pprsum ps ON ps.query_id = c.query_id
+  WHERE c.d = {K})
+SELECT a.query_id,
+       round(a.g_rbp, 6) AS g_rbp_r,
+       round(CASE WHEN a.n_rel > 0
+                  THEN a.td_dcg / (a.max_t * (SELECT v FROM lut WHERE n = a.n_rel))
+                  ELSE 0.0 END, 6) AS td_ndcg_r,
+       round(a.it_err, 6) AS it_err_r,
+       round(coalesce(t2.t / a.first_rel, 0.0), 6) AS mrr_topo_r,
+       round(sq.sqi, 6) AS sqi_r
+FROM agg a
+LEFT JOIN tfac t2 ON t2.query_id = a.query_id AND t2.rank = a.first_rel
+JOIN sqiv sq ON sq.query_id = a.query_id"""
 
 
 def _sql_random_projection() -> str:
@@ -1664,4 +1831,5 @@ FROM d""",
     # hybrid is pinned == lambda-aware (G6 spec gap, SURVEY §2.11):
     # same inputs, same SQL twin.
     d["search_hybrid"] = d["lambda_search"]
+    d["topology_metrics"] = _sql_topology_metrics()
     return d
