@@ -765,6 +765,51 @@ def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RBP_P = 0.9
 ERR_MAX_GRADE = 3
+CVE_YEAR_START, CVE_YEAR_END = 2010, 2020
+
+
+def q_json_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON corpus lifecycle (SURVEY §2.1 S4-S5, S7/S9):
+    documents → nested CVE-shaped records → year-partitioned JSON sink
+    → recursive scan with year-in-path predicate → PERMISSIVE parse →
+    SQL flatten. The oracle derives the same rows straight from the
+    parquet table, proving the sink/scan round-trip is lossless."""
+    import tempfile
+
+    from pyarrowspace_spark.sources import json_corpus as JC
+
+    docs = loaders.load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="pas_cve_json_")
+    JC.write_json_corpus(JC.to_cve_like_json(docs), path)
+    records = JC.read_json_corpus(spark, path, CVE_YEAR_START, CVE_YEAR_END)
+    return JC.extract_text(records).select(
+        "cve_id", "title", "flat_text", F.round("score", 2).alias("score_r"))
+
+
+def q_csv_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink/scan round-trip (SURVEY §2.1 S8): per-doc text stats →
+    headered CSV → schema'd read-back → aggregate by language. Oracle
+    computes the same aggregate directly from parquet."""
+    import tempfile
+
+    docs = loaders.load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id", "lang",
+        T.token_count("text").alias("n_tokens"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+    path = tempfile.mkdtemp(prefix="pas_csv_metrics_")
+    stats.write.mode("overwrite").option("header", "true").csv(path)
+    back = (
+        spark.read.schema(
+            "doc_id long, lang string, n_tokens long, punct_ratio double")
+        .option("header", "true").csv(path)
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct_r"),
+    )
 
 
 def q_topology_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -855,6 +900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "paired_ttest": q_paired_ttest,
         "topology_metrics": q_topology_metrics,
+        "json_corpus_roundtrip": q_json_corpus_roundtrip,
+        "csv_metrics_roundtrip": q_csv_metrics_roundtrip,
     }
 
 
@@ -1832,4 +1879,36 @@ FROM d""",
     # same inputs, same SQL twin.
     d["search_hybrid"] = d["lambda_search"]
     d["topology_metrics"] = _sql_topology_metrics()
+
+    d["json_corpus_roundtrip"] = f"""
+WITH rec AS (
+  SELECT 2000 + doc_id % 26 AS year,
+         'CVE-' || (2000 + doc_id % 26)::VARCHAR || '-'
+           || lpad(doc_id::VARCHAR, 6, '0') AS cve_id,
+         substr(text, 1, 40) AS title,
+         text, lang,
+         round(n_chars / 100.0, 2) AS score
+  FROM documents)
+SELECT cve_id, title,
+       concat_ws(' | ', title, text, upper(substr(text, 1, 20)),
+                 printf('%.2f', score)) AS flat_text,
+       round(score, 2) AS score_r
+FROM rec WHERE year BETWEEN {CVE_YEAR_START} AND {CVE_YEAR_END}"""
+
+    d["csv_metrics_roundtrip"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, lower(text) AS low,
+         {_SQL_TOKENS.format(t='text')} AS tk
+  FROM documents),
+stats AS (
+  SELECT doc_id, lang, len(tk) AS n_tokens,
+         round(CASE WHEN length(low) > 0
+               THEN length(regexp_replace(low, '[a-z0-9 ]', '', 'g'))::DOUBLE
+                    / length(low)
+               ELSE 0.0 END, 6) AS punct_ratio
+  FROM t)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       round(avg(punct_ratio), 6) AS avg_punct_r
+FROM stats GROUP BY lang"""
     return d
