@@ -47,14 +47,19 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
 
 def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
-             text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per doc with portable hashes."""
-    return (
-        docs.select(F.col(id_col),
-                    F.explode(T.word_ngrams(text_col, n)).alias("shingle"))
-        .distinct()
-        .withColumn("h", T.portable_hash60("shingle") % F.lit(MINHASH_PRIME))
-    )
+             text_col: str = "text", distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per doc with portable hashes.
+
+    `distinct=True` (set semantics, one shuffle) is required by the
+    Jaccard counters; duplicate-insensitive consumers (minhash `min`)
+    pass False and skip that shuffle entirely.
+    """
+    sh = docs.select(F.col(id_col),
+                     F.explode(T.word_ngrams(text_col, n)).alias("shingle"))
+    if distinct:
+        sh = sh.distinct()
+    return sh.withColumn(
+        "h", T.portable_hash60("shingle") % F.lit(MINHASH_PRIME))
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
@@ -64,17 +69,21 @@ def minhash_signatures(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     h_i(s) = (a_i·H(s) + b_i) mod p with H the portable 60-bit hash
     reduced mod p; products stay < 2^63 (a_i, H < p ≈ 2^30).
     """
-    sh = shingles(docs, n, id_col, text_col)
-    perms = F.array(*[
-        F.struct(F.lit(i).alias("perm"),
-                 ((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
-                  % F.lit(MINHASH_PRIME)).alias("hv"))
+    sh = shingles(docs, n, id_col, text_col, distinct=False)
+    # K parallel min-aggregates instead of an explode×K + groupBy(doc,
+    # perm): map-side partial aggregation reduces the shuffle to ONE
+    # row per doc per partition (vs K), and the K× intermediate row
+    # blowup never materializes. Unpivot to (doc, perm, minhash) after.
+    mins = sh.groupBy(id_col).agg(*[
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+              % F.lit(MINHASH_PRIME)).alias(f"m{i}")
         for i in range(NUM_PERM)
     ])
-    exploded = sh.select(id_col, F.explode(perms).alias("ph")).select(
-        id_col, F.col("ph.perm").alias("perm"), F.col("ph.hv").alias("hv")
+    return mins.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"m{i}") for i in range(NUM_PERM)]))
+        .alias("perm", "minhash"),
     )
-    return exploded.groupBy(id_col, "perm").agg(F.min("hv").alias("minhash"))
 
 
 def minhash_band_candidates(docs: DataFrame, n: int = 3,
