@@ -768,6 +768,34 @@ ERR_MAX_GRADE = 3
 CVE_YEAR_START, CVE_YEAR_END = 2010, 2020
 
 
+def q_ndcg_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG of the λ-aware ranking against the cosine ranking as graded
+    truth (SURVEY §2.8 M5, reference tests/test_2_CVE_db.py:176-199):
+    ranking-agreement between the two search systems per query."""
+    from pyarrowspace_spark.builder import ArrowSpaceBuilder
+    from pyarrowspace_spark.operators import metrics as MT
+    from pyarrowspace_spark.operators.search import search
+
+    _ship_package(spark)
+    items = _items(spark, sf_dir).select("item_id", "features")
+    idx = ArrowSpaceBuilder.build(
+        items,
+        {"eps": KNN_EPS, "k": KNN_K, "topk": TOPK, "p": KNN_P, "sigma": KNN_SIGMA},
+        strategy="exact",
+    )
+    queries_df = items.filter(F.col("item_id").isin(list(LAMBDA_QIDS))).select(
+        F.col("item_id").alias("query_id"),
+        F.transform("features", lambda x: x * F.lit(1.05)).alias("features"),
+    )
+    lam_rank = search(idx.items, idx.feature_laplacian, queries_df,
+                      tau=LAMBDA_TAU, k=TOPK).select(
+        "query_id", "item_id", "rank")
+    cos_rank = brute_force_cosine_topk(items, queries_df, TOPK).select(
+        "query_id", "item_id", "rank")
+    out = MT.ndcg_vs_reference(cos_rank, lam_rank, TOPK)
+    return out.select("query_id", F.round("ndcg", 6).alias("ndcg_r"))
+
+
 def q_json_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-JSON corpus lifecycle (SURVEY §2.1 S4-S5, S7/S9):
     documents → nested CVE-shaped records → year-partitioned JSON sink
@@ -902,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topology_metrics": q_topology_metrics,
         "json_corpus_roundtrip": q_json_corpus_roundtrip,
         "csv_metrics_roundtrip": q_csv_metrics_roundtrip,
+        "ndcg_vs_reference": q_ndcg_vs_reference,
     }
 
 
@@ -1879,6 +1908,41 @@ FROM d""",
     # same inputs, same SQL twin.
     d["search_hybrid"] = d["lambda_search"]
     d["topology_metrics"] = _sql_topology_metrics()
+
+    import math as _math
+    _idcg_ref = sum((TOPK - i + 1) / _math.log2(i + 1)
+                    for i in range(1, TOPK + 1))
+    d["ndcg_vs_reference"] = f"""
+WITH {_sql_lambda_cte()},
+lam AS (
+  SELECT e.kind, e.id,
+         {LAMBDA_TAU} * (e.e_raw / (e.e_raw + {LAMBDA_TAU}))
+         + (1 - {LAMBDA_TAU}) * g.g AS lam
+  FROM eraw e JOIN gval g ON g.kind = e.kind AND g.id = e.id),
+scored AS (
+  SELECT q.qid AS query_id, c.id AS item_id,
+         {_SQL_COS.format(a='q.e', b='c.e')} AS cos,
+         {LAMBDA_TAU} * {_SQL_COS.format(a='q.e', b='c.e')}
+         + (1 - {LAMBDA_TAU}) * (1.0 / (1.0 + abs(lq.lam - lx.lam))) AS score
+  FROM q JOIN lam lq ON lq.kind = 'q' AND lq.id = q.qid
+  CROSS JOIN emb c
+  JOIN lam lx ON lx.kind = 'i' AND lx.id = c.id),
+lam_rank AS (
+  SELECT query_id, item_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, item_id ASC) AS rank
+  FROM scored QUALIFY rank <= {TOPK}),
+cos_rank AS (
+  SELECT query_id, item_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, item_id ASC) AS rank
+  FROM scored QUALIFY rank <= {TOPK})
+SELECT l.query_id,
+       round(sum(coalesce({TOPK} - c.rank + 1, 0)
+                 / log2(l.rank + 1)) / {_idcg_ref!r}, 6) AS ndcg_r
+FROM lam_rank l
+LEFT JOIN cos_rank c ON c.query_id = l.query_id AND c.item_id = l.item_id
+GROUP BY l.query_id"""
 
     d["json_corpus_roundtrip"] = f"""
 WITH rec AS (

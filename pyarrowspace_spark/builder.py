@@ -86,7 +86,16 @@ class ArrowSpaceBuilder:
         id_col: str = "item_id",
         feat_col: str = "features",
         strategy: str = "auto",
+        sample_rate: float | None = None,
+        seed: int = 42,
     ) -> ArrowSpaceIndex:
+        """`sample_rate` mirrors the reference's inline sampler
+        ("Simple random sampler with keep rate 60.0%", log
+        tests/output/1760705545_v0_16/suggested_eps.md:6, builder hook
+        with_inline_sampling src/lib.rs:284): the GRAPH stages run on a
+        seeded sample, but λ is still materialized for EVERY item
+        (lambdas_len == nitems in the reference logs) against the
+        sampled graph's feature Laplacian."""
         params = (
             graph_params
             if isinstance(graph_params, GraphParams)
@@ -105,8 +114,15 @@ class ArrowSpaceBuilder:
         # Edges + λ both traverse base twice — cache across the build.
         base = base.persist()
 
-        edges = knn_ops.knn_edges(base, params, strategy=strategy).persist()
-        lf = lam_ops.feature_laplacian(base, edges, n_features)
+        graph_input = base
+        if sample_rate is not None and sample_rate < 1.0:
+            graph_input = base.sample(
+                withReplacement=False, fraction=float(sample_rate),
+                seed=int(seed)).persist()
+
+        edges = knn_ops.knn_edges(graph_input, params,
+                                  strategy=strategy).persist()
+        lf = lam_ops.feature_laplacian(graph_input, edges, n_features)
         tau_synth = lam_ops.median_tau(base, lf)
         if not (tau_synth > 0.0):
             # Degenerate spectrum: eps admitted no (or only disconnected)

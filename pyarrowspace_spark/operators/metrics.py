@@ -220,3 +220,31 @@ def paired_ttest(metric_a: DataFrame, metric_b: DataFrame,
         (F.avg("d") / (F.stddev_samp("d") / F.sqrt(F.count("*"))))
         .alias("t_stat"),
     )
+
+
+def ndcg_vs_reference(reference: DataFrame, test: DataFrame,
+                      k: int) -> DataFrame:
+    """nDCG of `test` rankings against `reference` rankings as graded
+    truth (reference tests/test_2_CVE_db.py:176-199): the item at
+    0-based index i of the reference list has relevance k−i; items
+    absent from the reference list score 0. IDCG is the reference
+    order's own DCG — a constant Σ_{i=1..k} (k−i+1)/log2(i+1).
+
+    Both inputs: DataFrame[query_id, item_id, rank] (rank 1-based,
+    already truncated to a common k — reference trims to the common
+    min length first, tests/test_2_CVE_db.py:590-596).
+    """
+    import math
+
+    kk = int(k)
+    idcg = sum((kk - i + 1) / math.log2(i + 1) for i in range(1, kk + 1))
+    rel = reference.select(
+        "query_id", "item_id",
+        (F.lit(kk) - F.col("rank") + 1).cast("double").alias("rel"),
+    )
+    return (
+        test.join(rel, ["query_id", "item_id"], "left")
+        .groupBy("query_id")
+        .agg((F.sum(F.coalesce("rel", F.lit(0.0))
+                    / F.log2(F.col("rank") + 1)) / F.lit(idcg)).alias("ndcg"))
+    )

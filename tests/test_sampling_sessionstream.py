@@ -1,0 +1,81 @@
+"""Builder inline sampling (SURVEY §2 G7) and stateful streaming
+sessionization (applyInPandasWithState)."""
+
+import json
+import os
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+import pytest
+
+from pyarrowspace_spark.builder import ArrowSpaceBuilder
+from pyarrowspace_spark.sources import loaders
+from pyarrowspace_spark.streaming.sessionize_stream import sessionize_stream
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_sampled_build_indexes_all_items(spark):
+    items = loaders.items_from_embeddings(spark, SF_DIR).select(
+        "item_id", "features")
+    n = items.count()
+    idx = ArrowSpaceBuilder.build(
+        items, {"eps": 0.9, "k": 10, "topk": 5, "p": 2.0},
+        strategy="exact", sample_rate=0.6, seed=42)
+    # graph built on the sample; lambda materialized for every item
+    assert idx.items.count() == n
+    graph_nodes = idx.edges.select(
+        F.explode(F.array("src", "dst")).alias("n")).distinct().count()
+    assert graph_nodes < n
+    # seeded determinism
+    idx2 = ArrowSpaceBuilder.build(
+        items, {"eps": 0.9, "k": 10, "topk": 5, "p": 2.0},
+        strategy="exact", sample_rate=0.6, seed=42)
+    assert idx2.edges.count() == idx.edges.count()
+    assert idx2.tau_synth == pytest.approx(idx.tau_synth, abs=1e-12)
+
+
+MIN_US = 60 * 1_000_000
+
+
+def test_sessionize_stream_closes_on_gap(spark):
+    src = tempfile.mkdtemp(prefix="pas_sess_src_")
+    t0 = 1_700_000_000_000_000  # epoch micros
+
+    def feed(q, rows):
+        path = os.path.join(src, f"{uuid.uuid4().hex}.json")
+        with open(path, "w") as f:
+            for user, ts in rows:
+                f.write(json.dumps({"user_id": user, "ts_us": ts}) + "\n")
+        q.processAllAvailable()
+
+    stream = spark.readStream.schema("user_id long, ts_us long").json(src)
+    sessions = sessionize_stream(stream, gap_minutes=30)
+    q = (sessions.writeStream.format("memory").queryName("sess_stream")
+         .outputMode("update").start())
+    try:
+        # batch 1: user 1 two close events; user 2 one event
+        feed(q, [(1, t0), (1, t0 + 10 * MIN_US), (2, t0)])
+        assert spark.table("sess_stream").count() == 0  # nothing closed
+        # batch 2: user 1 event 120 min later -> closes session 1
+        feed(q, [(1, t0 + 130 * MIN_US)])
+        rows = spark.table("sess_stream").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["user_id"] == 1 and r["n_events"] == 2
+        assert (r["session_end"] - r["session_start"]).total_seconds() == 600
+        # batch 3: another gap closes the singleton second session
+        feed(q, [(1, t0 + 300 * MIN_US)])
+        rows = {(r["user_id"], r["n_events"],
+                 int(r["session_start"].timestamp() * 1e6))
+                for r in spark.table("sess_stream").collect()}
+        assert (1, 1, t0 + 130 * MIN_US) in rows
+    finally:
+        q.stop()
+
+
+def test_sessionize_stream_rejects_batch_df(spark):
+    events = loaders.load_events(spark, SF_DIR)
+    with pytest.raises(ValueError):
+        sessionize_stream(events)
