@@ -796,6 +796,35 @@ def q_ndcg_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", F.round("ndcg", 6).alias("ndcg_r"))
 
 
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram-profile language ID (north-star text-analysis op):
+    per-language profile scores + argmax prediction, all as plan
+    literals — no lookup table, no shuffle beyond the scan."""
+    docs = loaders.load_table(spark, sf_dir, "documents")
+    cols = [F.round(T.lang_score("text", g), 6).alias(f"score_{g}_r")
+            for g in T.LANGS]
+    return docs.select("doc_id", "lang", *cols,
+                       T.lang_predict("text").alias("predicted"))
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seeded KMeans centroids → nprobe-nearest cells →
+    exact rescore inside the shortlist (the prompt's 'IVF variant as
+    the scale path'). KMeans is deterministic-under-seed but not
+    SQL-expressible — rows-only check."""
+    from pyarrowspace_spark.operators import simsearch as SS
+
+    _ship_package(spark)
+    items = _items(spark, sf_dir).select("item_id", "features")
+    queries_df = items.filter(F.col("item_id") < N_QUERIES).select(
+        F.col("item_id").alias("query_id"), "features")
+    cents = SS.ivf_centroids(items, n_centroids=16, seed=42)
+    out = SS.ivf_cosine_topk(items, queries_df, k=TOPK, centroids=cents,
+                             n_probe=4)
+    return out.select("query_id", "item_id",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def q_json_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-JSON corpus lifecycle (SURVEY §2.1 S4-S5, S7/S9):
     documents → nested CVE-shaped records → year-partitioned JSON sink
@@ -931,6 +960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_corpus_roundtrip": q_json_corpus_roundtrip,
         "csv_metrics_roundtrip": q_csv_metrics_roundtrip,
         "ndcg_vs_reference": q_ndcg_vs_reference,
+        "lang_id": q_lang_id,
+        "ivf_ann_topk": q_ivf_ann_topk,
     }
 
 
@@ -1908,6 +1939,36 @@ FROM d""",
     # same inputs, same SQL twin.
     d["search_hybrid"] = d["lambda_search"]
     d["topology_metrics"] = _sql_topology_metrics()
+
+    # ivf_ann_topk intentionally absent: KMeans centroids are
+    # deterministic under seed but not SQL-expressible — rows-only.
+    _langs = list(T.LANGS)
+    _prof_cols = []
+    for g in _langs:
+        lit = "[" + ", ".join(f"'{b}'" for b in T.LANG_PROFILES[g]) + "]"
+        _prof_cols.append(
+            f"round(CASE WHEN len(bg) > 0 THEN "
+            f"len(list_filter(bg, x -> list_contains({lit}, x)))::DOUBLE "
+            f"/ len(bg) ELSE 0.0 END, 6) AS score_{g}_r")
+    _score_arr = ("[" + ", ".join(
+        f"CASE WHEN len(bg) > 0 THEN "
+        f"len(list_filter(bg, x -> list_contains("
+        + "[" + ", ".join(f"'{b}'" for b in T.LANG_PROFILES[g]) + "]"
+        + ", x)))::DOUBLE / len(bg) ELSE 0.0 END"
+        for g in _langs) + "]")
+    _lang_arr = "[" + ", ".join(f"'{g}'" for g in _langs) + "]"
+    d["lang_id"] = f"""
+WITH bgs AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(lower(text)) >= 2 THEN
+           list_transform(range(1, length(lower(text))),
+                          i -> substr(lower(text), i, 2))
+         ELSE [] END AS bg
+  FROM documents)
+SELECT doc_id, lang, {', '.join(_prof_cols)},
+       {_lang_arr}[list_position({_score_arr},
+                                 list_max({_score_arr}))] AS predicted
+FROM bgs"""
 
     import math as _math
     _idcg_ref = sum((TOPK - i + 1) / _math.log2(i + 1)

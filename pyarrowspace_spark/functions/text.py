@@ -78,6 +78,48 @@ def lang_id_en_score(text: Column | str) -> Column:
     return stopword_ratio(text)
 
 
+# Char-bigram profiles (public frequency lists) for the n-gram lang-ID
+# heuristic. Tiny on purpose: they live as plan literals on every
+# executor — no lookup table, no shuffle.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"],
+    "fr": ["es", "le", "de", "en", "re", "nt", "on", "er", "te", "qu"],
+    "es": ["de", "la", "os", "en", "es", "ar", "el", "ra", "as", "ci"],
+    "de": ["er", "en", "ch", "de", "ei", "te", "ie", "ge", "un", "sc"],
+    "zh": ["zh", "ng", "sh", "xi", "ia", "uo", "ua", "ao", "ji", "qi"],
+}
+LANGS = list(LANG_PROFILES)
+
+
+def char_bigrams(text: Column | str) -> Column:
+    """All character bigrams of the lowercased text, in order."""
+    text = F.col(text) if isinstance(text, str) else text
+    low = F.lower(text)
+    return F.when(
+        F.length(low) >= 2,
+        F.transform(F.sequence(F.lit(1), F.length(low) - 1),
+                    lambda i: low.substr(i, F.lit(2))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def lang_score(text: Column | str, lang: str) -> Column:
+    """Fraction of the text's char bigrams found in `lang`'s profile
+    (n-gram language-ID heuristic)."""
+    bg = char_bigrams(text)
+    prof = F.array(*[F.lit(b) for b in LANG_PROFILES[lang]])
+    hits = F.size(F.filter(bg, lambda x: F.array_contains(prof, x)))
+    return F.when(F.size(bg) > 0,
+                  hits.cast("double") / F.size(bg)).otherwise(F.lit(0.0))
+
+
+def lang_predict(text: Column | str) -> Column:
+    """argmax-profile language, first-wins on ties in LANGS order."""
+    scores = F.array(*[lang_score(text, g) for g in LANGS])
+    best = F.array_max(scores)
+    idx = F.array_position(scores, best)
+    return F.element_at(F.array(*[F.lit(g) for g in LANGS]), idx.cast("int"))
+
+
 def word_ngrams(text: Column | str, n: int) -> Column:
     """Word n-gram shingles joined by single spaces."""
     toks = tokens(text)

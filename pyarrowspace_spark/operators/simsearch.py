@@ -122,8 +122,10 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
     b_c = spark.sparkContext.broadcast(centroids)
     np_probe = int(n_probe)
 
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which the pandas_udf signature parser rejects
     @F.pandas_udf(ArrayType(IntegerType()))
-    def cells(feats: pd.Series) -> pd.Series:
+    def cells(feats):
         C = b_c.value
         X = np.stack(feats.to_numpy())
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)

@@ -63,3 +63,23 @@ def test_paired_ttest_matches_scipy_formula(spark):
     assert row["n"] == 5
     assert row["mean_diff"] == pytest.approx(d.mean(), abs=1e-12)
     assert row["t_stat"] == pytest.approx(t_want, abs=1e-9)
+
+
+def test_lang_id_bigrams_and_predict(spark):
+    from pyarrowspace_spark.functions import text as T
+    df = spark.createDataFrame(
+        [(0, "the then there"), (1, "zhong xiao ji"), (2, "x")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        F.size(T.char_bigrams("text")).alias("nbg"),
+        T.lang_score("text", "en").alias("s_en"),
+        T.lang_score("text", "zh").alias("s_zh"),
+        T.lang_predict("text").alias("pred"),
+    ).collect()}
+    assert rows[0]["nbg"] == len("the then there") - 1
+    assert rows[0]["s_en"] > rows[0]["s_zh"]
+    assert rows[0]["pred"] == "en"
+    assert rows[1]["s_zh"] > rows[1]["s_en"]
+    assert rows[1]["pred"] == "zh"
+    assert rows[2]["nbg"] == 0 and rows[2]["s_en"] == 0.0
