@@ -156,15 +156,22 @@ def _pairwise_candidates_lsh(
         array_to_vector(V.l2_normalize(feat_col)).alias("unit_vec"),
     )
     threshold = math.sqrt(max(2.0 * eps, 1e-12))
+    # Join threshold is padded 15% and 6 hash tables are used: the
+    # approx join only GENERATES candidates — the exact eps filter
+    # downstream re-verifies every distance, so padding buys edge
+    # recall (contract: >=0.95 of the exact graph, SURVEY §7.3 #2)
+    # at candidate-count cost, never correctness.
+    join_threshold = threshold * 1.15
     lsh = BucketedRandomProjectionLSH(
         inputCol="unit_vec",
         outputCol="hashes",
         bucketLength=max(threshold, 1e-6),
-        numHashTables=3,
+        numHashTables=6,
         seed=42,
     )
     model = lsh.fit(unit)
-    joined = model.approxSimilarityJoin(unit, unit, threshold, distCol="_eucl")
+    joined = model.approxSimilarityJoin(unit, unit, join_threshold,
+                                        distCol="_eucl")
     # d_cos = 1 - cos = eucl^2 / 2 on the unit sphere. Rectification:
     # pairs with cos < 0 have eucl > sqrt(2) > threshold for eps <= 1,
     # so they are already pruned.

@@ -1,0 +1,33 @@
+"""Scale-path contract (SURVEY §7.3 #2): the LSH-approximated λτ-graph
+must recover ≥0.95 of the exact graph's edges at reference-like
+parameters — the documented guarantee for switching strategies above
+the broadcastable-N ceiling."""
+
+import pyspark.sql.functions as F
+
+from pyarrowspace_spark.operators import knn as KNN
+from pyarrowspace_spark.params import GraphParams
+from pyarrowspace_spark.sources import loaders
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_lsh_edge_recall_vs_exact(spark):
+    items = loaders.items_from_embeddings(spark, SF_DIR).select(
+        "item_id", "features")
+    params = GraphParams(eps=0.99, k=10, topk=10, p=2.0, sigma=0.495)
+    exact = KNN.knn_edges(items, params, strategy="exact").select(
+        "src", "dst").persist()
+    lsh = KNN.knn_edges(items, params, strategy="lsh").select(
+        "src", "dst").persist()
+    n_exact = exact.count()
+    n_hit = exact.join(lsh, ["src", "dst"]).count()
+    assert n_exact > 0
+    recall = n_hit / n_exact
+    assert recall >= 0.95, f"LSH edge recall {recall:.3f} < 0.95"
+
+
+def test_auto_strategy_thresholds(spark):
+    # below the ceiling auto == exact (broadcast scan); the constant
+    # itself is the scale-path switch documented in knn_edges.
+    assert KNN.EXACT_PATH_MAX_ROWS >= 10_000
