@@ -800,11 +800,12 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-bigram-profile language ID (north-star text-analysis op):
     per-language profile scores + argmax prediction, all as plan
     literals — no lookup table, no shuffle beyond the scan."""
-    docs = loaders.load_table(spark, sf_dir, "documents")
-    cols = [F.round(T.lang_score("text", g), 6).alias(f"score_{g}_r")
+    docs = loaders.load_table(spark, sf_dir, "documents").withColumn(
+        "bg", T.char_bigrams("text"))
+    cols = [F.round(T.lang_score_of(F.col("bg"), g), 6).alias(f"score_{g}_r")
             for g in T.LANGS]
     return docs.select("doc_id", "lang", *cols,
-                       T.lang_predict("text").alias("predicted"))
+                       T.lang_predict_of(F.col("bg")).alias("predicted"))
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -74,7 +74,8 @@ def main() -> None:
         "pricing_summary", "top_customers", "events_hourly", "events_asof",
         "sessionize", "dedup_exact", "text_stats", "minhash_signatures",
         "minhash_band_pairs", "ngram_jaccard", "simhash",
-        "embedding_near_dups",
+        "embedding_near_dups", "ann_lsh_topk", "random_projection",
+        "lang_id", "media_frame_sample", "intrinsic_dim",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).write.format(
             "noop").mode("overwrite").save())

@@ -102,22 +102,34 @@ def char_bigrams(text: Column | str) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def lang_score(text: Column | str, lang: str) -> Column:
-    """Fraction of the text's char bigrams found in `lang`'s profile
-    (n-gram language-ID heuristic)."""
-    bg = char_bigrams(text)
+def lang_score_of(bigrams: Column, lang: str) -> Column:
+    """Fraction of the given bigram array found in `lang`'s profile.
+    Take a PRECOMPUTED bigram column — recomputing the transform per
+    language multiplies the row cost by |LANGS| (it showed up as the
+    slowest bench query before this split)."""
     prof = F.array(*[F.lit(b) for b in LANG_PROFILES[lang]])
-    hits = F.size(F.filter(bg, lambda x: F.array_contains(prof, x)))
-    return F.when(F.size(bg) > 0,
-                  hits.cast("double") / F.size(bg)).otherwise(F.lit(0.0))
+    hits = F.size(F.filter(bigrams, lambda x: F.array_contains(prof, x)))
+    return F.when(F.size(bigrams) > 0,
+                  hits.cast("double") / F.size(bigrams)).otherwise(F.lit(0.0))
 
 
-def lang_predict(text: Column | str) -> Column:
-    """argmax-profile language, first-wins on ties in LANGS order."""
-    scores = F.array(*[lang_score(text, g) for g in LANGS])
+def lang_score(text: Column | str, lang: str) -> Column:
+    """Convenience over `lang_score_of` (single-language use)."""
+    return lang_score_of(char_bigrams(text), lang)
+
+
+def lang_predict_of(bigrams: Column) -> Column:
+    """argmax-profile language from a precomputed bigram column,
+    first-wins on ties in LANGS order."""
+    scores = F.array(*[lang_score_of(bigrams, g) for g in LANGS])
     best = F.array_max(scores)
     idx = F.array_position(scores, best)
     return F.element_at(F.array(*[F.lit(g) for g in LANGS]), idx.cast("int"))
+
+
+def lang_predict(text: Column | str) -> Column:
+    """Convenience over `lang_predict_of`."""
+    return lang_predict_of(char_bigrams(text))
 
 
 def word_ngrams(text: Column | str, n: int) -> Column:

@@ -25,10 +25,8 @@ import hashlib
 import math
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from ..functions import vector as V
 
 
 def rademacher_signs(n_features: int, k: int, tag: str = "rp") -> np.ndarray:
@@ -81,20 +79,55 @@ def two_nn_distances(
     """Per-item (d1, d2): euclidean distance to the nearest and
     second-nearest other item, ties broken by neighbor id.
 
-    Exact pairwise (O(N²) shuffle-free broadcast at test scale); at
-    100 TB run it on a sample — TwoNN needs only thousands of points.
+    Broadcast-corpus BLAS scan, same pattern as the exact kNN path:
+    each partition gemms its rows against the corpus matrix and emits
+    exactly one (d1, d2) row per item — the N² pair space never
+    materializes and nothing shuffles. (A per-pair SQL `aggregate`
+    lambda costs ~100× a gemm — it was the 2nd-slowest bench query.)
+    At 100 TB run it on a sample; TwoNN needs only thousands of points.
     """
-    a = items.select(F.col(id_col).alias("i"), F.col(feat_col).alias("fa"))
-    b = items.select(F.col(id_col).alias("j"), F.col(feat_col).alias("fb"))
-    pairs = a.join(b, F.col("i") != F.col("j")).select(
-        "i", "j", V.euclidean_distance("fa", "fb").alias("d")
-    )
-    w = Window.partitionBy("i").orderBy(F.col("d").asc(), F.col("j").asc())
-    two = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
-    return two.groupBy("i").agg(
-        F.max(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
-        F.max(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
-    )
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    spark = items.sparkSession
+    rows = items.select(id_col, feat_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    X = np.array([r[feat_col] for r in rows], dtype=np.float64)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_X = spark.sparkContext.broadcast(X)
+    b_sq = spark.sparkContext.broadcast((X * X).sum(axis=1))
+
+    schema = StructType([
+        StructField("i", LongType(), False),
+        StructField("d1", DoubleType(), True),
+        StructField("d2", DoubleType(), True),
+    ])
+
+    def scan(batches):
+        ids_all, X_all, sq_all = b_ids.value, b_X.value, b_sq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf[feat_col].to_numpy()).astype(np.float64)
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            qsq = (Q * Q).sum(axis=1)
+            d2m = np.maximum(
+                qsq[:, None] + sq_all[None, :] - 2.0 * (Q @ X_all.T), 0.0)
+            d = np.sqrt(d2m)
+            out_i, out_1, out_2 = [], [], []
+            for r in range(d.shape[0]):
+                drow = d[r]
+                mask = ids_all != qids[r]
+                cand = np.nonzero(mask)[0]
+                # two smallest by (dist, neighbor id)
+                sel = cand[np.lexsort((ids_all[cand], drow[cand]))[:2]]
+                out_i.append(qids[r])
+                out_1.append(drow[sel[0]] if sel.size > 0 else None)
+                out_2.append(drow[sel[1]] if sel.size > 1 else None)
+            yield pd.DataFrame({"i": out_i, "d1": out_1, "d2": out_2})
+
+    return items.select(id_col, feat_col).mapInPandas(scan, schema=schema)
 
 
 def two_nn_intrinsic_dim(
