@@ -123,7 +123,12 @@ class ArrowSpaceBuilder:
         edges = knn_ops.knn_edges(graph_input, params,
                                   strategy=strategy).persist()
         lf = lam_ops.feature_laplacian(graph_input, edges, n_features)
-        tau_synth = lam_ops.median_tau(base, lf)
+        # ONE Python kernel pass computes the τ-independent (e_raw, g);
+        # τ-synthesis and the λ blend are JVM-side over that column.
+        comp = lam_ops.with_energy_components(base, lf).persist()
+        tau_row = comp.select(
+            F.expr("percentile(_ec.e_raw, 0.5)").alias("m")).first()
+        tau_synth = float(tau_row["m"]) if tau_row["m"] is not None else 0.0
         if not (tau_synth > 0.0):
             # Degenerate spectrum: eps admitted no (or only disconnected)
             # edges, so every Rayleigh energy is 0. The reference panics
@@ -136,7 +141,8 @@ class ArrowSpaceBuilder:
                 f"(rectified-cosine distances lie in [0,1]) or rescale the "
                 f"input vectors (reference tests use x12/x100)."
             )
-        indexed = lam_ops.with_lambda(base, lf, tau_synth)
+        indexed = comp.withColumn(
+            "lambda", lam_ops.blend_lambda("_ec", tau_synth)).drop("_ec")
 
         return ArrowSpaceIndex(
             items=indexed,

@@ -191,3 +191,41 @@ def lambda_for_vectors(X: np.ndarray, lf: np.ndarray, tau: float) -> np.ndarray:
             "(reference panics here; rescale inputs, e.g. ×12)"
         )
     return s_val
+
+
+def with_energy_components(
+    items: DataFrame,
+    lf: np.ndarray,
+    feat_col: str = "features",
+    out_col: str = "_ec",
+) -> DataFrame:
+    """Append one struct column (e_raw, g): BOTH τ-independent spectral
+    components in a single Arrow-batched kernel pass.
+
+    τ-synthesis + the final blend are then pure SQL over this column —
+    the builder pays ONE Python pass per item instead of two (median-τ
+    pass + λ pass each re-deriving e_raw)."""
+    spark = items.sparkSession
+    blf = spark.sparkContext.broadcast(lf)
+    schema = StructType([
+        StructField("e_raw", DoubleType(), False),
+        StructField("g", DoubleType(), False),
+    ])
+
+    @F.pandas_udf(schema)
+    def ec_udf(feats):
+        X = np.stack(feats.to_numpy())
+        # tau only scales e_bounded/S — e_raw and g don't depend on it
+        e_raw, g, _ = _lambda_kernel(X, blf.value, tau=1.0)
+        return pd.DataFrame({"e_raw": e_raw, "g": g})
+
+    return items.withColumn(out_col, ec_udf(F.col(feat_col)))
+
+
+def blend_lambda(ec_col: str, tau: float) -> F.Column:
+    """S(x) = τ·e/(e+τ) + (1−τ)·g as a JVM expression over the struct
+    column produced by `with_energy_components`."""
+    e = F.col(f"{ec_col}.e_raw")
+    g = F.col(f"{ec_col}.g")
+    t = F.lit(float(tau))
+    return t * (e / (e + t)) + (F.lit(1.0) - t) * g
