@@ -35,7 +35,7 @@ from .operators import lambda_index as lam_ops
 class ArrowSpaceIndex:
     """The (ArrowSpace, GraphLaplacian) pair as Spark-native artifacts."""
 
-    items: DataFrame          # [item_id, features, lambda]
+    items: DataFrame          # [item_id, features, e_raw, g, lambda]
     edges: DataFrame          # [src, dst, dist, weight]  (src < dst)
     feature_laplacian: np.ndarray  # F×F, broadcast at query time
     params: GraphParams
@@ -141,7 +141,15 @@ class ArrowSpaceBuilder:
                 f"(rectified-cosine distances lie in [0,1]) or rescale the "
                 f"input vectors (reference tests use x12/x100)."
             )
-        indexed = comp.withColumn(
+        # Keep the τ-independent components IN the index: λ at any
+        # search-time τ is then a JVM expression — search never pays a
+        # Python pass over the corpus (reference recomputes item λ per
+        # search call with the caller's τ, TAUMODE.md).
+        indexed = comp.select(
+            "*",
+            F.col("_ec.e_raw").alias("e_raw"),
+            F.col("_ec.g").alias("g"),
+        ).withColumn(
             "lambda", lam_ops.blend_lambda("_ec", tau_synth)).drop("_ec")
 
         return ArrowSpaceIndex(

@@ -222,10 +222,13 @@ def with_energy_components(
     return items.withColumn(out_col, ec_udf(F.col(feat_col)))
 
 
-def blend_lambda(ec_col: str, tau: float) -> F.Column:
-    """S(x) = τ·e/(e+τ) + (1−τ)·g as a JVM expression over the struct
-    column produced by `with_energy_components`."""
-    e = F.col(f"{ec_col}.e_raw")
-    g = F.col(f"{ec_col}.g")
+def blend_lambda_cols(e: F.Column, g: F.Column, tau: float) -> F.Column:
+    """S(x) = τ·e/(e+τ) + (1−τ)·g from explicit component columns."""
     t = F.lit(float(tau))
     return t * (e / (e + t)) + (F.lit(1.0) - t) * g
+
+
+def blend_lambda(ec_col: str, tau: float) -> F.Column:
+    """Blend over the struct column from `with_energy_components`."""
+    return blend_lambda_cols(F.col(f"{ec_col}.e_raw"),
+                             F.col(f"{ec_col}.g"), tau)

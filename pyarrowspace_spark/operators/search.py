@@ -63,7 +63,17 @@ def search(
             F.col(query_id_col), F.col(feat_col).alias("q_features"), "q_lambda"
         )
 
-    items = with_lambda(index, lf, tau, feat_col=feat_col, out_col="x_lambda")
+    if "e_raw" in index.columns and "g" in index.columns:
+        # Index built by ArrowSpaceBuilder carries the τ-independent
+        # components: item λ at the search τ is a pure JVM expression —
+        # no Python pass over the corpus per search call.
+        from .lambda_index import blend_lambda_cols
+
+        items = index.withColumn(
+            "x_lambda", blend_lambda_cols(F.col("e_raw"), F.col("g"), tau))
+    else:
+        items = with_lambda(index, lf, tau, feat_col=feat_col,
+                            out_col="x_lambda")
 
     scored = items.join(F.broadcast(qdf)).select(
         query_id_col,
