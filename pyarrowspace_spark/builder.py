@@ -75,6 +75,31 @@ class ArrowSpaceIndex:
                     n_features=self.n_features)
         spark.createDataFrame([meta]).write.mode("overwrite").json(f"{path}/meta")
 
+    @classmethod
+    def load(cls, spark, path: str) -> "ArrowSpaceIndex":
+        """Reopen a saved index: tables stay lazy/distributed, only the
+        F×F Laplacian and metadata hit the driver."""
+        lf_rows = (
+            spark.read.parquet(f"{path}/feature_laplacian")
+            .orderBy("row_idx").collect()
+        )
+        lf = np.array([r["row"] for r in lf_rows], dtype=np.float64)
+        meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
+        params = GraphParams(
+            eps=float(meta["eps"]), k=int(meta["k"]), topk=int(meta["topk"]),
+            p=float(meta["p"]),
+            sigma=(float(meta["sigma"]) if meta.get("sigma") is not None
+                   else None),
+        )
+        return cls(
+            items=spark.read.parquet(f"{path}/items"),
+            edges=spark.read.parquet(f"{path}/edges"),
+            feature_laplacian=lf,
+            params=params,
+            tau_synth=float(meta["tau_synth"]),
+            n_features=int(meta["n_features"]),
+        )
+
 
 class ArrowSpaceBuilder:
     """Mirror of reference ArrowSpaceBuilder (src/lib.rs:270-300)."""

@@ -84,8 +84,9 @@ def decode_features(media: DataFrame, n_features: int = 16) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for _, row in pdf.iterrows():
-                px = _decode_bytes(row["payload"], row["width"], row["height"])
+            for payload, w, h in zip(pdf["payload"], pdf["width"],
+                                     pdf["height"]):
+                px = _decode_bytes(payload, w, h)
                 hist, _ = np.histogram(px, bins=nf, range=(0, 256))
                 total = hist.sum()
                 feats.append((hist / total if total else hist).astype(
@@ -113,8 +114,9 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                px = _decode_bytes(row["payload"], row["width"], row["height"])
+            for payload, w, h in zip(pdf["payload"], pdf["width"],
+                                     pdf["height"]):
+                px = _decode_bytes(payload, w, h)
                 yi = (np.arange(out_h) * px.shape[0] // out_h)
                 xi = (np.arange(out_w) * px.shape[1] // out_w)
                 small = px[yi][:, xi].mean(axis=2)  # grayscale

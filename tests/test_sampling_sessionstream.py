@@ -79,3 +79,27 @@ def test_sessionize_stream_rejects_batch_df(spark):
     events = loaders.load_events(spark, SF_DIR)
     with pytest.raises(ValueError):
         sessionize_stream(events)
+
+
+def test_index_save_load_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from pyarrowspace_spark.operators.search import search
+
+    items = loaders.items_from_embeddings(spark, SF_DIR).select(
+        "item_id", "features")
+    idx = ArrowSpaceBuilder.build(
+        items, {"eps": 0.9, "k": 10, "topk": 5, "p": 2.0}, strategy="exact")
+    path = str(tmp_path / "index")
+    idx.save(path)
+    from pyarrowspace_spark.builder import ArrowSpaceIndex
+    idx2 = ArrowSpaceIndex.load(spark, path)
+    assert idx2.nitems == idx.nitems
+    assert idx2.n_features == idx.n_features
+    assert idx2.tau_synth == pytest.approx(idx.tau_synth, rel=1e-12)
+    assert np.allclose(idx2.feature_laplacian, idx.feature_laplacian)
+    q = np.array(items.filter("item_id = 7").first()["features"]) * 1.05
+    r1 = search(idx.items, idx.feature_laplacian, q, tau=0.62, k=5).collect()
+    r2 = search(idx2.items, idx2.feature_laplacian, q, tau=0.62, k=5).collect()
+    assert [(r["item_id"], round(r["score"], 9)) for r in sorted(r1, key=lambda r: r["rank"])] == \
+           [(r["item_id"], round(r["score"], 9)) for r in sorted(r2, key=lambda r: r["rank"])]
