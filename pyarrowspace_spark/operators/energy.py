@@ -27,7 +27,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -121,30 +120,6 @@ class EnergyIndex:
         return self.centroids.count()
 
 
-def _with_lambda_e(items: DataFrame, lf: np.ndarray, tau: float,
-                   feat_col: str = "features") -> DataFrame:
-    """λ and raw Rayleigh energy columns in one Arrow-batched pass."""
-    import pandas as pd
-    from pyspark.sql.types import ArrayType, DoubleType
-
-    spark = items.sparkSession
-    blf = spark.sparkContext.broadcast(lf)
-    t = float(tau)
-
-    @F.pandas_udf(ArrayType(DoubleType()))
-    def both_udf(feats: pd.Series) -> pd.Series:
-        X = np.stack(feats.to_numpy())
-        e_raw, _, s_val = lam_ops._lambda_kernel(X, blf.value, t)
-        return pd.Series([[s, e] for s, e in zip(s_val, e_raw)])
-
-    out = items.withColumn("_le", both_udf(F.col(feat_col)))
-    return out.select(
-        *items.columns,
-        F.col("_le")[0].alias("lambda"),
-        F.col("_le")[1].alias("e_raw"),
-    ).drop("_le")
-
-
 def build_energy(
     items: DataFrame,
     eparams: EnergyParams,
@@ -165,16 +140,25 @@ def build_energy(
     # G13a: trim weak edges before energy attribution.
     kept_edges = trim_edges(edges, eparams.trim_quantile).persist()
 
-    # λ/e on the *diffused* space.
+    # λ/e on the *diffused* space — one kernel pass for the
+    # τ-independent components, τ-synthesis + blend JVM-side (same
+    # single-pass pattern as the standard builder).
     lf = lam_ops.feature_laplacian(diffused, kept_edges, n_features)
-    tau_synth = lam_ops.median_tau(diffused, lf)
+    comp = lam_ops.with_energy_components(diffused, lf).persist()
+    tau_row = comp.select(
+        F.expr("percentile(_ec.e_raw, 0.5)").alias("m")).first()
+    tau_synth = float(tau_row["m"]) if tau_row["m"] is not None else 0.0
     if not (tau_synth > 0.0):
         raise ValueError(
             "degenerate energy index: diffusion collapsed the spectrum "
             f"(median energy {tau_synth}); lower eta/steps "
             "(reference sweep shows collapse at eta=0.1, steps=8)"
         )
-    indexed = _with_lambda_e(diffused, lf, tau_synth).persist()
+    indexed = comp.select(
+        "*", F.col("_ec.e_raw").alias("e_raw")
+    ).withColumn(
+        "lambda", lam_ops.blend_lambda("_ec", tau_synth)
+    ).drop("_ec").persist()
 
     # G14: optical-token compression (seeded KMeans).
     from pyspark.ml.clustering import KMeans
