@@ -826,6 +826,61 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+TAU_SWEEP = (1.0, 0.8, 0.62, 0.42)
+
+
+def q_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ-sweep regression probe (SURVEY §5.3, reference
+    tests/test_4_msmarco_tau_sweep.py): per-τ mean ranking agreement
+    with the cosine reference — the engine's parameter-sweep harness
+    as one oracle-checked query."""
+    from pyarrowspace_spark.builder import ArrowSpaceBuilder
+    from pyarrowspace_spark.operators import metrics as MT
+    from pyarrowspace_spark.operators.search import search
+
+    _ship_package(spark)
+    items = _items(spark, sf_dir).select("item_id", "features")
+    idx = ArrowSpaceBuilder.build(
+        items,
+        {"eps": KNN_EPS, "k": KNN_K, "topk": TOPK, "p": KNN_P, "sigma": KNN_SIGMA},
+        strategy="exact",
+    )
+    idx.items.persist()
+    queries_df = items.filter(F.col("item_id").isin(list(LAMBDA_QIDS))).select(
+        F.col("item_id").alias("query_id"),
+        F.transform("features", lambda x: x * F.lit(1.05)).alias("features"),
+    )
+    cos_rank = brute_force_cosine_topk(items, queries_df, TOPK).select(
+        "query_id", "item_id", "rank").persist()
+    out = None
+    for tau in TAU_SWEEP:
+        lam_rank = search(idx.items, idx.feature_laplacian, queries_df,
+                          tau=tau, k=TOPK).select(
+            "query_id", "item_id", "rank")
+        nd = MT.ndcg_vs_reference(cos_rank, lam_rank, TOPK).agg(
+            F.avg("ndcg").alias("avg_ndcg"))
+        row = nd.select(F.lit(float(tau)).alias("tau"),
+                        F.round("avg_ndcg", 6).alias("avg_ndcg_r"))
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def q_magnitude_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-magnitude diagnostics (SURVEY §7.3 #7: report, don't
+    panic, on mis-scaled inputs)."""
+    from pyarrowspace_spark.operators import lambda_index as LI
+
+    items = _items(spark, sf_dir).select("item_id", "features")
+    out = LI.magnitude_report(items)
+    return out.select(
+        "n_items",
+        F.round("min_norm", 6).alias("min_norm_r"),
+        F.round("avg_norm", 6).alias("avg_norm_r"),
+        F.round("max_norm", 6).alias("max_norm_r"),
+        "n_zero_vectors", "n_nonfinite",
+    )
+
+
 def q_json_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-JSON corpus lifecycle (SURVEY §2.1 S4-S5, S7/S9):
     documents → nested CVE-shaped records → year-partitioned JSON sink
@@ -963,6 +1018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_vs_reference": q_ndcg_vs_reference,
         "lang_id": q_lang_id,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "tau_sweep": q_tau_sweep,
+        "magnitude_report": q_magnitude_report,
     }
 
 
@@ -1974,6 +2031,60 @@ FROM bgs"""
     import math as _math
     _idcg_ref = sum((TOPK - i + 1) / _math.log2(i + 1)
                     for i in range(1, TOPK + 1))
+
+    _tau_blocks = []
+    for _t in TAU_SWEEP:
+        _tau_blocks.append(f"""
+SELECT {float(_t)!r} AS tau, round(avg(ndcg), 6) AS avg_ndcg_r FROM (
+  SELECT l.query_id,
+         sum(coalesce({TOPK} - c.rank + 1, 0) / log2(l.rank + 1))
+           / {_idcg_ref!r} AS ndcg
+  FROM (
+    SELECT query_id, item_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, item_id ASC) AS rank
+    FROM (
+      SELECT q.qid AS query_id, c.id AS item_id,
+             {float(_t)!r} * {_SQL_COS.format(a='q.e', b='c.e')}
+             + (1 - {float(_t)!r}) * (1.0 / (1.0 + abs(
+                 ({float(_t)!r} * (lq.e_raw / (lq.e_raw + {float(_t)!r}))
+                  + (1 - {float(_t)!r}) * lq.g)
+               - ({float(_t)!r} * (lx.e_raw / (lx.e_raw + {float(_t)!r}))
+                  + (1 - {float(_t)!r}) * lx.g)))) AS score
+      FROM q JOIN comp lq ON lq.kind = 'q' AND lq.id = q.qid
+      CROSS JOIN emb c
+      JOIN comp lx ON lx.kind = 'i' AND lx.id = c.id)
+    QUALIFY rank <= {TOPK}) l
+  LEFT JOIN (
+    SELECT query_id, item_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, item_id ASC) AS rank
+    FROM (
+      SELECT q.qid AS query_id, c.id AS item_id,
+             {_SQL_COS.format(a='q.e', b='c.e')} AS cos
+      FROM q CROSS JOIN emb c)
+    QUALIFY rank <= {TOPK}) c
+    ON c.query_id = l.query_id AND c.item_id = l.item_id
+  GROUP BY l.query_id)""")
+    d["tau_sweep"] = f"""
+WITH {_sql_lambda_cte()},
+comp AS (
+  SELECT e.kind, e.id, e.e_raw, g.g
+  FROM eraw e JOIN gval g ON g.kind = e.kind AND g.id = e.id)
+{' UNION ALL '.join(_tau_blocks)}"""
+
+    d["magnitude_report"] = """
+WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT id, sqrt(list_dot_product(e, e)) AS nrm,
+             len(list_filter(e, x -> isnan(x) OR NOT isfinite(x))) AS bad
+      FROM emb)
+SELECT count(*)::BIGINT AS n_items,
+       round(min(nrm), 6) AS min_norm_r,
+       round(avg(nrm), 6) AS avg_norm_r,
+       round(max(nrm), 6) AS max_norm_r,
+       sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_vectors,
+       sum(CASE WHEN bad > 0 THEN 1 ELSE 0 END)::BIGINT AS n_nonfinite
+FROM n"""
     d["ndcg_vs_reference"] = f"""
 WITH {_sql_lambda_cte()},
 lam AS (

@@ -193,6 +193,28 @@ def lambda_for_vectors(X: np.ndarray, lf: np.ndarray, tau: float) -> np.ndarray:
     return s_val
 
 
+def magnitude_report(items: DataFrame,
+                     feat_col: str = "features") -> DataFrame:
+    """Input-magnitude diagnostics (reference panics on mis-scaled
+    inputs via the λ=0 guard, src/lib.rs:156-159, and its tests rescale
+    ×12/×100; the intended heuristics table is tests/test_2_CVE_db.py:
+    44-66 — we REPORT instead of panicking, SURVEY §7.3 #7):
+    one row of [n_items, min/avg/max L2 norm, n_zero_vectors,
+    n_nonfinite] computed in a single JVM aggregate pass."""
+    from ..functions import vector as V
+
+    norm = V.l2_norm(feat_col)
+    return items.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.min(norm).alias("min_norm"),
+        F.avg(norm).alias("avg_norm"),
+        F.max(norm).alias("max_norm"),
+        F.sum((norm == 0.0).cast("long")).alias("n_zero_vectors"),
+        F.sum((V.nan_inf_count(feat_col) > 0).cast("long")
+              ).alias("n_nonfinite"),
+    )
+
+
 def with_energy_components(
     items: DataFrame,
     lf: np.ndarray,
