@@ -827,6 +827,27 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TAU_SWEEP = (1.0, 0.8, 0.62, 0.42)
+CC_ITERS = 6
+SHARD_TOKENS = 4096
+
+
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: connected components over the n-gram-Jaccard
+    pair graph by iterated min-label propagation (dedup output is
+    groups, not pairs — the survivor per group is min doc_id)."""
+    docs = loaders.load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=JACCARD_N, threshold=JACCARD_T)
+    out = D.connected_components(pairs, iters=CC_ITERS)
+    return out.select("node", F.col("component").cast("long").alias("component"))
+
+
+def q_shard_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard packing: running token budget of
+    SHARD_TOKENS per shard in deterministic doc order."""
+    docs = loaders.load_table(spark, sf_dir, "documents")
+    out = D.shard_by_token_budget(docs, SHARD_TOKENS)
+    return out.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "shard")
 
 
 def q_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1020,6 +1041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "tau_sweep": q_tau_sweep,
         "magnitude_report": q_magnitude_report,
+        "dup_components": q_dup_components,
+        "shard_by_tokens": q_shard_by_tokens,
     }
 
 
@@ -2072,6 +2095,45 @@ comp AS (
   SELECT e.kind, e.id, e.e_raw, g.g
   FROM eraw e JOIN gval g ON g.kind = e.kind AND g.id = e.id)
 {' UNION ALL '.join(_tau_blocks)}"""
+
+    _cc_blocks = ["""
+pairs AS MATERIALIZED (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN counts ca ON i.id_a = ca.doc_id
+  JOIN counts cb ON i.id_b = cb.doc_id
+  WHERE i.n_inter::DOUBLE / (ca.n_sh + cb.n_sh - i.n_inter) >= {t}),
+bothp AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+cc0 AS (SELECT DISTINCT src AS node, src AS component FROM bothp)""".format(
+        t=JACCARD_T)]
+    for _i in range(CC_ITERS):
+        _cc_blocks.append(f"""
+cc{_i + 1} AS (
+  SELECT node, min(component) AS component FROM (
+    SELECT b.dst AS node, l.component
+    FROM bothp b JOIN cc{_i} l ON l.node = b.src
+    UNION ALL SELECT node, component FROM cc{_i}
+  ) GROUP BY node)""")
+    d["dup_components"] = f"""
+WITH {_sql_shingles_cte()},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+{','.join(_cc_blocks)}
+SELECT node, CAST(component AS BIGINT) AS component FROM cc{CC_ITERS}"""
+
+    _toks = _SQL_TOKENS.format(t="text")
+    d["shard_by_tokens"] = f"""
+WITH counted AS (
+  SELECT doc_id, len({_toks}) AS n_tokens FROM documents)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / {SHARD_TOKENS}) AS BIGINT) AS shard
+FROM counted"""
 
     d["magnitude_report"] = """
 WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -19,7 +19,7 @@ replay every step bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -225,3 +225,56 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float,
                 })
 
     return emb.select(id_col, vec_col).mapInPandas(scan, schema=schema)
+
+
+def connected_components(pairs: DataFrame, iters: int = 8,
+                         id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Duplicate-GROUP assembly: connected components over the
+    near-dup pair graph by iterated min-label propagation
+    (component id = min doc id reachable; `iters` bounds the hop
+    radius — 8 covers diameters far beyond real dup-cluster sizes).
+
+    Returns DataFrame[node, component]. Each iteration is one
+    join + min-aggregate — the standard scalable CC formulation
+    (no driver-side union-find); `localCheckpoint` caps lineage.
+    """
+    both = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    both = both.unionAll(both.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst"))).persist()
+    lab = both.select("src").unionAll(both.select("dst")).distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("component"))
+    for _ in range(int(iters)):
+        prop = (
+            both.join(lab, both["src"] == lab["node"])
+            .select(F.col("dst").alias("node"), "component")
+            .unionAll(lab.select("node", "component"))
+            .groupBy("node").agg(F.min("component").alias("component"))
+        )
+        # eager checkpoint: truncates lineage NOW, so iteration i+1
+        # plans against a materialized RDD instead of a 2^i-deep plan.
+        lab = prop.localCheckpoint(eager=True)
+    return lab
+
+
+def shard_by_token_budget(docs: DataFrame, budget_tokens: int,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Training-export packing: assign docs (in deterministic id order)
+    to shards of ~`budget_tokens` via a running token-count window:
+    shard = floor((cumsum(tokens) - tokens) / budget).
+
+    One global sort — at 100 TB shard WITHIN partitions instead
+    (partition id becomes a shard prefix) to avoid the single-ordering
+    shuffle; semantics per shard are identical.
+    """
+    from ..functions import text as T
+
+    w = Window.orderBy(F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0)
+    counted = docs.select(
+        id_col, T.token_count(text_col).alias("n_tokens"))
+    return counted.withColumn(
+        "shard",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / F.lit(int(budget_tokens))).cast("long"),
+    )

@@ -83,3 +83,28 @@ def test_lang_id_bigrams_and_predict(spark):
     assert rows[1]["s_zh"] > rows[1]["s_en"]
     assert rows[1]["pred"] == "zh"
     assert rows[2]["nbg"] == 0 and rows[2]["s_en"] == 0.0
+
+
+def test_connected_components_chain_and_isolate(spark):
+    from pyarrowspace_spark.operators import dedup as D
+    # chain 1-2-3-4, pair (10,11), singleton edge (20,21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)],
+        "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in
+           D.connected_components(pairs, iters=4).collect()}
+    assert {got[1], got[2], got[3], got[4]} == {1}
+    assert got[10] == got[11] == 10
+    assert got[20] == got[21] == 20
+
+
+def test_shard_by_token_budget_running_sum(spark):
+    from pyarrowspace_spark.operators import dedup as D
+    docs = spark.createDataFrame(
+        [(i, "tok " * 50) for i in range(10)], "doc_id long, text string")
+    rows = sorted(D.shard_by_token_budget(docs, 100).collect(),
+                  key=lambda r: r["doc_id"])
+    # 50 tokens each, budget 100 -> docs (0,1) shard 0, (2,3) shard 1, ...
+    for r in rows:
+        assert r["n_tokens"] == 50
+        assert r["shard"] == r["doc_id"] // 2
