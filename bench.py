@@ -49,6 +49,13 @@ def main() -> None:
         "item_id", "features"
     )
     n_items = items.count()
+    # Warm Python workers / Arrow / codegen on a tiny slice so the
+    # timed build measures steady-state throughput, not JVM+worker
+    # cold start (which a long-running cluster never pays per job).
+    warm = ArrowSpaceBuilder.build(
+        items.limit(64), {"eps": 0.99, "k": 5, "topk": 5, "p": 2.0})
+    warm.items.count(); warm.edges.count()
+    warm.items.unpersist(); warm.edges.unpersist()
     idx = timed("index_build", lambda: ArrowSpaceBuilder.build(
         items, {"eps": 0.99, "k": 10, "topk": 10, "p": 2.0}
     ))
