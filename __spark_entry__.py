@@ -831,6 +831,41 @@ CC_ITERS = 6
 SHARD_TOKENS = 4096
 
 
+EPS_SWEEP = (0.9, 0.95, 0.99)
+
+
+def q_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eps-sweep diagnostic (reference suggested_eps outputs + eps
+    sweep, tests/test_5_msmarco_eps_sweep.py): per-eps graph shape —
+    edge count, mean degree, sparsity — from ONE pairwise distance
+    pass reused across the grid."""
+    from pyarrowspace_spark.operators import knn as KNN
+
+    items = _items(spark, sf_dir).select("item_id", "features")
+    n = items.count()
+    # one scan at the widest eps; narrower ones are filters over it
+    widest = max(EPS_SWEEP)
+    cand = KNN._knn_directed_broadcast_scan(
+        items, "item_id", "features", widest, KNN_K).persist()
+    out = None
+    for eps in EPS_SWEEP:
+        knn = cand.filter(F.col("dist") <= F.lit(float(eps)))
+        canon = knn.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        ).distinct()
+        agg = canon.agg(F.count("*").alias("n_edges")).select(
+            F.lit(float(eps)).alias("eps"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.round(2.0 * F.col("n_edges") / F.lit(float(n)), 6
+                    ).alias("avg_degree_r"),
+            F.round(1.0 - 2.0 * F.col("n_edges") / F.lit(float(n * n)), 8
+                    ).alias("sparsity_r"),
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out
+
+
 def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS: connected components over the n-gram-Jaccard
     pair graph by iterated min-label propagation (dedup output is
@@ -1043,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "magnitude_report": q_magnitude_report,
         "dup_components": q_dup_components,
         "shard_by_tokens": q_shard_by_tokens,
+        "eps_sweep": q_eps_sweep,
     }
 
 
@@ -2124,6 +2160,30 @@ inter AS (
   GROUP BY 1, 2),
 {','.join(_cc_blocks)}
 SELECT node, CAST(component AS BIGINT) AS component FROM cc{CC_ITERS}"""
+
+    _eps_blocks = []
+    for _e in EPS_SWEEP:
+        _eps_blocks.append(f"""
+SELECT {float(_e)!r} AS eps,
+       count(*)::BIGINT AS n_edges,
+       round(2.0 * count(*) / (SELECT count(*) FROM emb), 6) AS avg_degree_r,
+       round(1.0 - 2.0 * count(*) / pow((SELECT count(*) FROM emb), 2), 8)
+         AS sparsity_r
+FROM (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY dist ASC, dst ASC) AS rn
+    FROM cand WHERE dist <= {float(_e)!r})
+  WHERE rn <= {KNN_K})""")
+    _cos_ab = _SQL_COS.format(a="a.e", b="b.e")
+    d["eps_sweep"] = f"""
+WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+cand AS MATERIALIZED (
+  SELECT a.id AS src, b.id AS dst,
+         1.0 - greatest({_cos_ab}, 0.0) AS dist
+  FROM emb a, emb b WHERE a.id <> b.id)
+{' UNION ALL '.join(_eps_blocks)}"""
 
     _toks = _SQL_TOKENS.format(t="text")
     d["shard_by_tokens"] = f"""
