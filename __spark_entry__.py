@@ -832,6 +832,33 @@ SHARD_TOKENS = 4096
 
 
 EPS_SWEEP = (0.9, 0.95, 0.99)
+QUALITY_MIN = 0.5
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship LLM-data pipeline composition: exact-dup removal
+    (fingerprint min-id survivors) → near-dup GROUP removal (connected
+    components over n-gram Jaccard pairs, min-id survivors) → quality
+    floor → per-language corpus stats. One query, end-to-end."""
+    docs = loaders.load_table(spark, sf_dir, "documents")
+
+    exact = D.exact_duplicates(docs)
+    keep_exact = docs.join(
+        exact.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi")
+
+    pairs = D.ngram_jaccard_pairs(keep_exact, n=JACCARD_N,
+                                  threshold=JACCARD_T)
+    comp = D.connected_components(pairs, iters=CC_ITERS)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id"))
+    survivors = keep_exact.join(losers, "doc_id", "left_anti")
+
+    clean = survivors.filter(T.quality_score("text") >= QUALITY_MIN)
+    return clean.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(T.token_count("text")).cast("long").alias("n_tokens"),
+        F.round(F.avg(T.quality_score("text")), 6).alias("avg_quality_r"),
+    )
 
 
 def q_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1079,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": q_dup_components,
         "shard_by_tokens": q_shard_by_tokens,
         "eps_sweep": q_eps_sweep,
+        "clean_corpus": q_clean_corpus,
     }
 
 
@@ -2184,6 +2212,68 @@ cand AS MATERIALIZED (
          1.0 - greatest({_cos_ab}, 0.0) AS dist
   FROM emb a, emb b WHERE a.id <> b.id)
 {' UNION ALL '.join(_eps_blocks)}"""
+
+    _toksq = _SQL_TOKENS.format(t="text")
+    _cc2_blocks = []
+    for _i in range(CC_ITERS):
+        _cc2_blocks.append(f"""
+cc{_i + 1} AS (
+  SELECT node, min(component) AS component FROM (
+    SELECT b.dst AS node, l.component
+    FROM bothp b JOIN cc{_i} l ON l.node = b.src
+    UNION ALL SELECT node, component FROM cc{_i}
+  ) GROUP BY node)""")
+    d["clean_corpus"] = f"""
+WITH t AS (
+  SELECT doc_id, text, lang, lower(text) AS low, {_toksq} AS tk
+  FROM documents),
+stats AS (
+  SELECT doc_id, lang, text, tk, len(tk) AS n_tokens,
+         CASE WHEN length(low) > 0
+              THEN length(regexp_replace(low, '[a-z0-9 ]', '', 'g'))::DOUBLE
+                   / length(low) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(tk) > 0
+              THEN len(list_filter(tk, x -> list_contains({_SQL_STOPWORDS}, x)))::DOUBLE
+                   / len(tk) ELSE 0.0 END AS stopword_ratio,
+         array_to_string(tk, ' ') AS norm
+  FROM t),
+q AS (
+  SELECT *, 0.4 * least(1.0, n_tokens / 100.0)
+            + 0.3 * (1.0 - punct_ratio)
+            + 0.3 * (1.0 - abs(stopword_ratio - 0.4)) AS quality,
+         {_sql_hash60('norm')} AS fingerprint
+  FROM stats),
+keep1 AS MATERIALIZED (
+  SELECT * FROM q WHERE doc_id IN (
+    SELECT min(doc_id) FROM q GROUP BY fingerprint)),
+sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk) - {JACCARD_N - 1}, 0) + 1),
+                i -> array_to_string(tk[i : i + {JACCARD_N - 1}], ' '))) AS shingle
+  FROM keep1 WHERE len(tk) >= {JACCARD_N}),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM sh_raw),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+pairs AS MATERIALIZED (
+  SELECT i.id_a, i.id_b FROM inter i
+  JOIN counts ca ON i.id_a = ca.doc_id
+  JOIN counts cb ON i.id_b = cb.doc_id
+  WHERE i.n_inter::DOUBLE / (ca.n_sh + cb.n_sh - i.n_inter) >= {JACCARD_T}),
+bothp AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+cc0 AS (SELECT DISTINCT src AS node, src AS component FROM bothp),
+{','.join(_cc2_blocks)},
+losers AS (SELECT node AS doc_id FROM cc{CC_ITERS} WHERE node <> component),
+clean AS (
+  SELECT * FROM keep1
+  WHERE doc_id NOT IN (SELECT doc_id FROM losers) AND quality >= {QUALITY_MIN})
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       round(avg(quality), 6) AS avg_quality_r
+FROM clean GROUP BY lang"""
 
     _toks = _SQL_TOKENS.format(t="text")
     d["shard_by_tokens"] = f"""

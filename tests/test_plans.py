@@ -1,0 +1,61 @@
+"""Physical-plan regression guards: the scale properties we claim
+(pushdown, pruning, broadcast, no accidental cartesian shuffles) must
+be visible in `.explain` output, not just intended."""
+
+import io
+import contextlib
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as em
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(em.q_pricing_summary(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # column pruning: only the 6 needed columns reach the scan
+    assert "l_comment" not in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    plan = _plan(em.q_cosine_topk(spark, SF_DIR))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    # query-side filter reaches the scan
+    assert "LessThan(vec_id,10)" in plan
+
+
+def test_search_has_no_python_row_udf(spark):
+    from pyarrowspace_spark.builder import ArrowSpaceBuilder
+    from pyarrowspace_spark.operators.search import search
+    from pyarrowspace_spark.sources import loaders
+
+    items = loaders.items_from_embeddings(spark, SF_DIR).select(
+        "item_id", "features")
+    idx = ArrowSpaceBuilder.build(
+        items, {"eps": 0.9, "k": 10, "topk": 5, "p": 2.0}, strategy="exact")
+    queries = items.limit(2).select(
+        F.col("item_id").alias("query_id"), "features")
+    plan = _plan(search(idx.items, idx.feature_laplacian, queries,
+                        tau=0.62, k=5))
+    # row-at-a-time Python UDFs never appear anywhere
+    assert "BatchEvalPython" not in plan
+    # the scoring + ranking operators (everything ABOVE the join in
+    # the tree = before it in the text) are pure JVM; Python kernels
+    # exist only in the cached build lineage / tiny query side
+    scoring = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "EvalPython" not in scoring
+    assert "Window" in scoring
+
+
+def test_minhash_no_cartesian(spark):
+    plan = _plan(em.q_minhash_band_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
