@@ -70,6 +70,29 @@ def _items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loaders.items_from_embeddings(spark, sf_dir)
 
 
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _get_index(spark: SparkSession, sf_dir: str):
+    """Shared standard index (canonical KNN_* params) — six queries use
+    the identical build; memoize per sf_dir so the driver's correctness
+    run builds it once (the cached DataFrames are persisted)."""
+    if sf_dir not in _INDEX_CACHE:
+        from pyarrowspace_spark.builder import ArrowSpaceBuilder
+
+        _ship_package(spark)
+        items = _items(spark, sf_dir).select("item_id", "features")
+        idx = ArrowSpaceBuilder.build(
+            items,
+            {"eps": KNN_EPS, "k": KNN_K, "topk": TOPK, "p": KNN_P,
+             "sigma": KNN_SIGMA},
+            strategy="exact",
+        )
+        idx.items.persist().count()
+        _INDEX_CACHE[sf_dir] = idx
+    return _INDEX_CACHE[sf_dir]
+
+
 # ---------------------------------------------------------------------------
 # flagship entry (driver smoke check, sf0.001)
 # ---------------------------------------------------------------------------
@@ -313,11 +336,7 @@ def q_lambda_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ship_package(spark)
     items = _items(spark, sf_dir).select("item_id", "features")
-    idx = ArrowSpaceBuilder.build(
-        items,
-        {"eps": KNN_EPS, "k": KNN_K, "topk": TOPK, "p": KNN_P, "sigma": KNN_SIGMA},
-        strategy="exact",
-    )
+    idx = _get_index(spark, sf_dir)
     return idx.items.select("item_id", F.round("lambda", 6).alias("lambda_r"))
 
 
@@ -329,11 +348,7 @@ def q_lambda_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ship_package(spark)
     items = _items(spark, sf_dir).select("item_id", "features")
-    idx = ArrowSpaceBuilder.build(
-        items,
-        {"eps": KNN_EPS, "k": KNN_K, "topk": TOPK, "p": KNN_P, "sigma": KNN_SIGMA},
-        strategy="exact",
-    )
+    idx = _get_index(spark, sf_dir)
     queries = items.filter(F.col("item_id").isin(list(LAMBDA_QIDS))).select(
         F.col("item_id").alias("query_id"),
         F.transform("features", lambda x: x * F.lit(1.05)).alias("features"),
@@ -565,10 +580,8 @@ LPA_ITERS = 4
 
 
 def _knn_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = _items(spark, sf_dir).select("item_id", "features")
-    params = GraphParams(eps=KNN_EPS, k=KNN_K, topk=TOPK, p=KNN_P,
-                         sigma=KNN_SIGMA)
-    return KNN.knn_edges(items, params, strategy="exact")
+    # identical params to the shared index build — reuse its edge table
+    return _get_index(spark, sf_dir).edges
 
 
 def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,11 +651,7 @@ def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ship_package(spark)
     items = _items(spark, sf_dir).select("item_id", "features")
-    idx = ArrowSpaceBuilder.build(
-        items,
-        {"eps": KNN_EPS, "k": KNN_K, "topk": TOPK, "p": KNN_P, "sigma": KNN_SIGMA},
-        strategy="exact",
-    )
+    idx = _get_index(spark, sf_dir)
     queries_df = items.filter(F.col("item_id").isin(list(LAMBDA_QIDS))).select(
         F.col("item_id").alias("query_id"),
         F.transform("features", lambda x: x * F.lit(1.05)).alias("features"),
@@ -778,11 +787,7 @@ def q_ndcg_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ship_package(spark)
     items = _items(spark, sf_dir).select("item_id", "features")
-    idx = ArrowSpaceBuilder.build(
-        items,
-        {"eps": KNN_EPS, "k": KNN_K, "topk": TOPK, "p": KNN_P, "sigma": KNN_SIGMA},
-        strategy="exact",
-    )
+    idx = _get_index(spark, sf_dir)
     queries_df = items.filter(F.col("item_id").isin(list(LAMBDA_QIDS))).select(
         F.col("item_id").alias("query_id"),
         F.transform("features", lambda x: x * F.lit(1.05)).alias("features"),
@@ -923,11 +928,7 @@ def q_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ship_package(spark)
     items = _items(spark, sf_dir).select("item_id", "features")
-    idx = ArrowSpaceBuilder.build(
-        items,
-        {"eps": KNN_EPS, "k": KNN_K, "topk": TOPK, "p": KNN_P, "sigma": KNN_SIGMA},
-        strategy="exact",
-    )
+    idx = _get_index(spark, sf_dir)
     idx.items.persist()
     queries_df = items.filter(F.col("item_id").isin(list(LAMBDA_QIDS))).select(
         F.col("item_id").alias("query_id"),

@@ -5,11 +5,24 @@ be visible in `.explain` output, not just intended."""
 import io
 import contextlib
 
+import pytest
 import pyspark.sql.functions as F
 
 import __spark_entry__ as em
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def cold_catalog(spark):
+    """Plan guards assert against the cold plan. Earlier tests may have
+    persisted a DataFrame whose plan subtree matches our scans (e.g.
+    build_energy persists `select item_id, features from embeddings`);
+    CacheManager would then substitute InMemoryTableScan and hide the
+    parquet PushedFilters we're asserting on."""
+    spark.catalog.clearCache()
+    em._INDEX_CACHE.clear()
+    yield
 
 
 def _plan(df) -> str:
