@@ -805,12 +805,20 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-bigram-profile language ID (north-star text-analysis op):
     per-language profile scores + argmax prediction, all as plan
     literals — no lookup table, no shuffle beyond the scan."""
-    docs = loaders.load_table(spark, sf_dir, "documents").withColumn(
-        "bg", T.char_bigrams("text"))
-    cols = [F.round(T.lang_score_of(F.col("bg"), g), 6).alias(f"score_{g}_r")
-            for g in T.LANGS]
-    return docs.select("doc_id", "lang", *cols,
-                       T.lang_predict_of(F.col("bg")).alias("predicted"))
+    docs = (
+        loaders.load_table(spark, sf_dir, "documents")
+        # one scores array shared by the per-lang columns AND the argmax
+        # (Catalyst only CSEs repeated subexpressions shared through a
+        # named column); scores via the replace-count trick — no bigram
+        # array materialization at all
+        .withColumn("scores", T.lang_scores_text("text"))
+    )
+    cols = [F.round(F.element_at("scores", i + 1), 6).alias(f"score_{g}_r")
+            for i, g in enumerate(T.LANGS)]
+    pred = F.element_at(
+        F.array(*[F.lit(g) for g in T.LANGS]),
+        F.array_position("scores", F.array_max("scores")).cast("int"))
+    return docs.select("doc_id", "lang", *cols, pred.alias("predicted"))
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

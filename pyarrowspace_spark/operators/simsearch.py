@@ -34,8 +34,12 @@ def lsh_hyperplanes(dim: int, n_tables: int = DEFAULT_N_TABLES,
 
 
 def _bucket_expr(feat_col: str, table_planes: np.ndarray):
-    """Bucket id = Σ_j [dot(v, h_j) > 0]·2^j as a JVM-side expression
-    (sequential fold — the same arithmetic the SQL oracle runs)."""
+    """Bucket id = Σ_j [dot(v, h_j) > 0]·2^j as a JVM-side expression.
+
+    Sequential `aggregate` fold — the same arithmetic the SQL oracle
+    runs. (A flat element_at multiply-add chain was tried and is NOT
+    faster: 2048 expression nodes exceed janino's method limits, codegen
+    fails, and the interpreted fallback is ~7× slower.)"""
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(table_planes):
         h = F.array(*[F.lit(float(x)) for x in plane])
@@ -67,21 +71,31 @@ def ann_cosine_topk(
     oracle for recall measurement).
     """
     n_tables = planes.shape[0]
+    # (table, bucket) pairs via ONE corpus pass + posexplode; the query
+    # side is tiny → broadcast, so the whole candidate generation is a
+    # single broadcast hash join with zero corpus shuffle (the per-table
+    # join-then-union formulation re-scanned the corpus n_tables times).
     it = with_lsh_buckets(
         items.select(F.col(id_col), F.col(feat_col)), planes, feat_col
+    ).select(
+        id_col, feat_col,
+        F.posexplode(F.array(*[f"bucket_{t}" for t in range(n_tables)]))
+        .alias("t", "bucket"),
     )
     qu = with_lsh_buckets(
         queries.select(F.col(query_id_col),
                        F.col(feat_col).alias("q_features")),
         planes, "q_features",
+    ).select(
+        query_id_col, "q_features",
+        F.posexplode(F.array(*[f"bucket_{t}" for t in range(n_tables)]))
+        .alias("t", "bucket"),
     )
-    cands = None
-    for t in range(n_tables):
-        c = qu.select(query_id_col, "q_features", f"bucket_{t}").join(
-            it.select(id_col, feat_col, f"bucket_{t}"), f"bucket_{t}"
-        ).select(query_id_col, "q_features", id_col, feat_col)
-        cands = c if cands is None else cands.unionAll(c)
-    cands = cands.dropDuplicates([query_id_col, id_col])
+    cands = (
+        it.join(F.broadcast(qu), ["t", "bucket"])
+        .select(query_id_col, "q_features", id_col, feat_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
     scored = cands.select(
         query_id_col, id_col,
         V.cosine_similarity("q_features", feat_col).alias("score"),

@@ -85,6 +85,18 @@ def test_lang_id_bigrams_and_predict(spark):
     assert rows[2]["nbg"] == 0 and rows[2]["s_en"] == 0.0
 
 
+def test_lang_scores_text_equals_bigram_formulation(spark):
+    """The replace-count fast path must produce byte-identical scores to
+    the bigram-array formulation on real corpus text."""
+    from pyarrowspace_spark.functions import text as T
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(50)
+    slow = F.array(*[T.lang_score("text", g) for g in T.LANGS])
+    for r in docs.select(T.lang_scores_text("text").alias("fast"),
+                         slow.alias("slow")).collect():
+        assert r["fast"] == r["slow"]
+
+
 def test_connected_components_chain_and_isolate(spark):
     from pyarrowspace_spark.operators import dedup as D
     # chain 1-2-3-4, pair (10,11), singleton edge (20,21)
