@@ -137,7 +137,17 @@ def _knn_directed_broadcast_scan(
                     "dist": np.concatenate(out_v),
                 })
 
-    return items.select(id_col, feat_col).mapInPandas(scan, schema=schema)
+    # Spread the gemm across cores: a single-file parquet scan arrives
+    # as ONE partition, which would serialize the whole N×N scan on one
+    # Python worker.
+    src = items.select(id_col, feat_col)
+    target = min(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        max(1, len(ids) // 256),
+    )
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    return src.mapInPandas(scan, schema=schema)
 
 
 def _pairwise_candidates_lsh(

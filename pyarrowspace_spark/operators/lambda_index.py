@@ -52,7 +52,34 @@ def feature_laplacian(
     (a) degree-weighted items and (b) edges joined to both endpoint
     feature vectors; the driver sums the partials. Communication is
     #partitions × F² doubles — independent of N.
+
+    Small-N fast path: when the corpus fits the same driver-memory
+    budget the exact kNN scan already relies on (it collects X to
+    broadcast it), assemble L_F with two driver-side BLAS products
+    instead of 2 joins + a distributed accumulate — same math, ~10×
+    less wall time at bench scale. The distributed path remains the
+    only one taken at LSH scale.
     """
+    from .knn import EXACT_PATH_MAX_ROWS
+
+    n = items.count()
+    if n <= EXACT_PATH_MAX_ROWS:
+        rows = items.select(id_col, feat_col).collect()
+        ids = {r[id_col]: i for i, r in enumerate(rows)}
+        X = np.array([r[feat_col] for r in rows], dtype=np.float64)
+        e_rows = edges.select("src", "dst", "weight").collect()
+        si = np.array([ids[r["src"]] for r in e_rows], dtype=np.int64)
+        di = np.array([ids[r["dst"]] for r in e_rows], dtype=np.int64)
+        w = np.array([r["weight"] for r in e_rows], dtype=np.float64)
+        deg = np.zeros(len(rows))
+        np.add.at(deg, si, w)
+        np.add.at(deg, di, w)
+        lf = (X * deg[:, None]).T @ X
+        if len(w):
+            C = (X[si] * w[:, None]).T @ X[di]
+            lf -= C + C.T
+        return (lf + lf.T) / 2.0
+
     deg = (
         edges.select(F.col("src").alias(id_col), "weight")
         .unionAll(edges.select(F.col("dst").alias(id_col), "weight"))
