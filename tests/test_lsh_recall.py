@@ -27,6 +27,22 @@ def test_lsh_edge_recall_vs_exact(spark):
     assert recall >= 0.95, f"LSH edge recall {recall:.3f} < 0.95"
 
 
+def test_lsh_bucket_gemm_matches_sql_fold(spark):
+    """The Arrow-gemm bucket path must agree with the pure-expression
+    sequential fold (what the DuckDB oracle replays) on every vector."""
+    from pyarrowspace_spark.operators import simsearch as S
+
+    items = loaders.items_from_embeddings(spark, SF_DIR).select(
+        "item_id", "features")
+    planes = S.lsh_hyperplanes(64)
+    cols = ["item_id"] + [f"bucket_{t}" for t in range(planes.shape[0])]
+    fast = {r["item_id"]: tuple(r[c] for c in cols[1:])
+            for r in S.with_lsh_buckets(items, planes).select(cols).collect()}
+    slow = {r["item_id"]: tuple(r[c] for c in cols[1:])
+            for r in S.with_lsh_buckets_sql(items, planes).select(cols).collect()}
+    assert fast == slow
+
+
 def test_auto_strategy_thresholds(spark):
     # below the ceiling auto == exact (broadcast scan); the constant
     # itself is the scale-path switch documented in knn_edges.
