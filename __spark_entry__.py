@@ -165,15 +165,18 @@ def q_ir_quality_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy("rank")
+    # persist: all three metric operators join against these — without
+    # it the broadcast-cosine ranking is recomputed once per metric
     rankings = ranked.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= TOPK
-    ).select("query_id", "item_id", "rank")
+    ).select("query_id", "item_id", "rank").persist()
 
     qrels = (
         queries.select(F.col("item_id").alias("query_id"), F.col("label").alias("ql"))
         .join(corpus.select(F.col("item_id"), F.col("label")), F.col("label") == F.col("ql"))
         .filter(F.col("query_id") != F.col("item_id"))
         .select("query_id", "item_id", F.lit(1).alias("relevance"))
+        .persist()
     )
     rec = M.recall_at_k(rankings, qrels, TOPK)
     mrr_df = M.mrr(rankings, qrels)

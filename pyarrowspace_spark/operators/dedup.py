@@ -62,6 +62,23 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
         "h", T.portable_hash60("shingle") % F.lit(MINHASH_PRIME))
 
 
+def _minhash_wide(docs: DataFrame, n: int, id_col: str,
+                  text_col: str) -> DataFrame:
+    """One row per doc with all K minhashes as columns m0..m{K-1}.
+
+    K parallel min-aggregates instead of an explode×K + groupBy(doc,
+    perm): map-side partial aggregation reduces the shuffle to ONE
+    row per doc per partition (vs K), and the K× intermediate row
+    blowup never materializes.
+    """
+    sh = shingles(docs, n, id_col, text_col, distinct=False)
+    return sh.groupBy(id_col).agg(*[
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+              % F.lit(MINHASH_PRIME)).alias(f"m{i}")
+        for i in range(NUM_PERM)
+    ])
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """DataFrame[doc_id, perm, minhash] — K×N rows, one shuffle.
@@ -69,16 +86,7 @@ def minhash_signatures(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     h_i(s) = (a_i·H(s) + b_i) mod p with H the portable 60-bit hash
     reduced mod p; products stay < 2^63 (a_i, H < p ≈ 2^30).
     """
-    sh = shingles(docs, n, id_col, text_col, distinct=False)
-    # K parallel min-aggregates instead of an explode×K + groupBy(doc,
-    # perm): map-side partial aggregation reduces the shuffle to ONE
-    # row per doc per partition (vs K), and the K× intermediate row
-    # blowup never materializes. Unpivot to (doc, perm, minhash) after.
-    mins = sh.groupBy(id_col).agg(*[
-        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
-              % F.lit(MINHASH_PRIME)).alias(f"m{i}")
-        for i in range(NUM_PERM)
-    ])
+    mins = _minhash_wide(docs, n, id_col, text_col)
     return mins.select(
         id_col,
         F.posexplode(F.array(*[F.col(f"m{i}") for i in range(NUM_PERM)]))
@@ -93,15 +101,28 @@ def minhash_band_candidates(docs: DataFrame, n: int = 3,
 
     Returns DataFrame[id_a, id_b] with id_a < id_b. The pair join is
     per-bucket — shuffle on the band hash, never a global cross join.
+
+    Band keys are assembled as row expressions over the wide minhash
+    row (same "perm:minhash" sorted-concat string the oracle builds),
+    so there is no explode + regroup shuffle between the signature
+    aggregate and the bucket join.
     """
-    sig = minhash_signatures(docs, n, id_col, text_col)
-    banded = sig.withColumn("band", (F.col("perm") / F.lit(BAND_ROWS)).cast("int"))
-    band_sig = banded.groupBy(id_col, "band").agg(
-        F.concat_ws(",", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("perm").cast("string"),
-                        F.col("minhash").cast("string"))
-        ))).alias("band_key")
-    )
+    mins = _minhash_wide(docs, n, id_col, text_col)
+    n_bands = NUM_PERM // BAND_ROWS
+    band_structs = []
+    for b in range(n_bands):
+        parts = [
+            F.concat_ws(":", F.lit(str(i)), F.col(f"m{i}").cast("string"))
+            for i in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)
+        ]
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(",", F.array_sort(F.array(*parts))).alias("band_key"),
+        ))
+    band_sig = mins.select(
+        id_col, F.explode(F.array(*band_structs)).alias("_bk")
+    ).select(id_col, F.col("_bk.band").alias("band"),
+             F.col("_bk.band_key").alias("band_key"))
     a = band_sig.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = band_sig.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
