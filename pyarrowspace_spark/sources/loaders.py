@@ -17,8 +17,29 @@ TABLES = [
 ]
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a single-small-file scan up to the session's
+    parallelism. A one-file local table arrives as ONE partition, which
+    serializes every downstream per-row kernel on one core; at real
+    scale tables come pre-split into many files and this is a no-op.
+    Filters/pruning still push through the round-robin exchange."""
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(8, p):
+        return df.repartition(p)
+    return df
+
+
+# Tables whose consumers run expensive per-row kernels (tokenize /
+# shingle / hash chains). Cheap codegen scans+aggs (lineitem etc.) are
+# NOT spread — the exchange costs more than single-pass codegen saves.
+_SPREAD_TABLES = {"documents"}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _SPREAD_TABLES:
+        df = _spread(spark, df)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

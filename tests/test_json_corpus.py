@@ -13,7 +13,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_roundtrip_year_filter_and_flatten(spark):
-    docs = loaders.load_table(spark, SF_DIR, "documents").limit(120)
+    docs = loaders.load_table(spark, SF_DIR, "documents").filter("doc_id < 120")
     path = tempfile.mkdtemp(prefix="pas_json_rt_")
     JC.write_json_corpus(JC.to_cve_like_json(docs), path)
 
@@ -29,7 +29,7 @@ def test_roundtrip_year_filter_and_flatten(spark):
 
 
 def test_malformed_records_dropped(spark):
-    docs = loaders.load_table(spark, SF_DIR, "documents").limit(26)
+    docs = loaders.load_table(spark, SF_DIR, "documents").filter("doc_id < 26")
     path = tempfile.mkdtemp(prefix="pas_json_bad_")
     JC.write_json_corpus(JC.to_cve_like_json(docs), path)
     # inject a malformed file into an in-range partition

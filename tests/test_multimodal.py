@@ -13,7 +13,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def media(spark):
-    docs = loaders.load_table(spark, SF_DIR, "documents").limit(60)
+    docs = loaders.load_table(spark, SF_DIR, "documents").filter("doc_id < 60")
     return M.media_table_from_documents(docs).cache()
 
 
