@@ -69,6 +69,8 @@ def main() -> None:
     #     CVE harness: 3 queries x 3 tau values interactive) --------------
     qrows = items.filter(F.col("item_id").isin([3, 7, 11])).collect()
     qvecs = np.array([r["features"] for r in qrows]) * 1.05
+    # untimed: compile the search plan once (steady-state, as above)
+    search(idx.items, idx.feature_laplacian, qvecs[:1], tau=0.9, k=3).collect()
     for tau in (1.0, 0.8, 0.62):
         timed(f"search_tau_{tau}", lambda t=tau: search(
             idx.items, idx.feature_laplacian, qvecs, tau=t, k=10
