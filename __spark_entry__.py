@@ -824,20 +824,26 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", *cols, pred.alias("predicted"))
 
 
+IVF_N_CENTROIDS = 16
+IVF_N_PROBE = 4
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: seeded KMeans centroids → nprobe-nearest cells →
-    exact rescore inside the shortlist (the prompt's 'IVF variant as
-    the scale path'). KMeans is deterministic-under-seed but not
-    SQL-expressible — rows-only check."""
+    """IVF ANN: deterministic seeded Lloyd's centroids → nprobe-nearest
+    cells → exact rescore inside the shortlist (the prompt's 'IVF
+    variant as the scale path'). The oracle replays the SAME centroids
+    as SQL literals (cell-assignment margins are ≥5.7e-6 vs ~1e-15 FP
+    noise between the two engines' distance formulas, so assignments
+    cannot diverge)."""
     from pyarrowspace_spark.operators import simsearch as SS
 
     _ship_package(spark)
     items = _items(spark, sf_dir).select("item_id", "features")
     queries_df = items.filter(F.col("item_id") < N_QUERIES).select(
         F.col("item_id").alias("query_id"), "features")
-    cents = SS.ivf_centroids(items, n_centroids=16, seed=42)
+    cents = SS.ivf_centroids(items, n_centroids=IVF_N_CENTROIDS, seed=42)
     out = SS.ivf_cosine_topk(items, queries_df, k=TOPK, centroids=cents,
-                             n_probe=4)
+                             n_probe=IVF_N_PROBE)
     return out.select("query_id", "item_id",
                       F.col("rank").cast("long").alias("rank"))
 
@@ -1141,6 +1147,72 @@ _SQL_COS = (
     "(list_dot_product({a},{b}) / "
     "(sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))))"
 )
+
+
+_IVF_CENTROID_CACHE: dict[str, object] = {}
+
+
+def _ivf_oracle_centroids():
+    """Centroids the IVF oracle embeds as literals: the SAME
+    deterministic Lloyd's the Spark query runs, trained on the sf0.01
+    corpus — the driver's oracle-compare scale per contract."""
+    if "c" not in _IVF_CENTROID_CACHE:
+        import numpy as np
+        import pyarrow.parquet as pq
+        from pyarrowspace_spark.operators.simsearch import lloyd_kmeans
+
+        t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).to_pandas()
+        t = t.sort_values("vec_id")
+        X = np.array([np.asarray(e, dtype=np.float64)
+                      for e in t["embedding"]])
+        _IVF_CENTROID_CACHE["c"] = lloyd_kmeans(X, IVF_N_CENTROIDS, seed=42)
+    return _IVF_CENTROID_CACHE["c"]
+
+
+def _sql_ivf_ann() -> str:
+    C = _ivf_oracle_centroids()
+    vals = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            j, ", ".join(repr(float(v)) for v in C[j]))
+        for j in range(len(C)))
+    return f"""
+WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT * FROM (VALUES {vals}) AS t(cell, c)),
+d AS (
+  SELECT emb.id, cents.cell,
+         list_dot_product(e, e) - 2*list_dot_product(e, c)
+           + list_dot_product(c, c) AS d2
+  FROM emb, cents
+),
+it AS (
+  SELECT id, cell FROM (
+    SELECT id, cell, row_number() OVER (PARTITION BY id
+                     ORDER BY d2 ASC, cell ASC) AS rn FROM d)
+  WHERE rn = 1
+),
+qu AS (
+  SELECT id, cell FROM (
+    SELECT id, cell, row_number() OVER (PARTITION BY id
+                     ORDER BY d2 ASC, cell ASC) AS rn
+    FROM d WHERE id < {N_QUERIES})
+  WHERE rn <= {IVF_N_PROBE}
+),
+cand AS (SELECT DISTINCT qu.id AS query_id, it.id AS item_id
+         FROM qu JOIN it USING (cell)),
+scored AS (
+  SELECT c.query_id, c.item_id,
+         {_SQL_COS.format(a='q.e', b='x.e')} AS score
+  FROM cand c JOIN emb q ON q.id = c.query_id
+              JOIN emb x ON x.id = c.item_id
+),
+ranked AS (SELECT query_id, item_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, item_id ASC)
+                    AS rank
+           FROM scored)
+SELECT query_id, item_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOPK}"""
 
 
 def _sql_knn_edges_cte() -> str:
@@ -1806,6 +1878,8 @@ ranked AS (
 SELECT query_id, item_id, CAST(rank AS BIGINT) AS rank,
        round(score, 4) AS score_r
 FROM ranked WHERE rank <= {ANN_K}""",
+
+        "ivf_ann_topk": _sql_ivf_ann(),
 
         "rank_correlation": f"""
 WITH {_sql_cos_eucl_rankings_cte()},

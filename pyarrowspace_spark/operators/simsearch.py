@@ -153,19 +153,39 @@ def ann_cosine_topk(
     )
 
 
+def lloyd_kmeans(X: np.ndarray, k: int, seed: int = 42,
+                 iters: int = 20) -> np.ndarray:
+    """Deterministic seeded Lloyd's k-means (numpy). Init = seeded
+    row sample; empty clusters keep their previous centroid. Shared by
+    the IVF quantizer AND the oracle-SQL generator so both engines use
+    bit-identical centroids."""
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
 def ivf_centroids(items: DataFrame, n_centroids: int, seed: int = 42,
                   id_col: str = "item_id",
-                  feat_col: str = "features") -> np.ndarray:
-    """IVF coarse quantizer: seeded MLlib KMeans centroids (driver-side
-    array, broadcastable). The IVF index assigns each item to its
-    nearest centroid; queries probe the closest `n_probe` cells."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    vecs = items.select(array_to_vector(F.col(feat_col)).alias("fv"))
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="fv", maxIter=20)
-    model = km.fit(vecs)
-    return np.array(model.clusterCenters())
+                  feat_col: str = "features",
+                  max_train: int = 100_000) -> np.ndarray:
+    """IVF coarse quantizer: deterministic Lloyd's on a driver-side
+    training matrix (broadcastable). Rows are collected in id order so
+    the result is independent of partitioning; corpora above
+    `max_train` train on a seeded sample — the standard IVF design
+    (quantizers train on a subset; assignment stays distributed)."""
+    df = items.select(id_col, feat_col)
+    if df.count() > max_train:
+        df = df.sample(False, fraction=0.1, seed=seed).limit(max_train)
+    rows = df.orderBy(id_col).collect()
+    X = np.array([r[feat_col] for r in rows], dtype=np.float64)
+    return lloyd_kmeans(X, n_centroids, seed=seed)
 
 
 def ivf_assign(df: DataFrame, centroids: np.ndarray,
@@ -187,7 +207,9 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
         C = b_c.value
         X = np.stack(feats.to_numpy())
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        idx = np.argsort(d2, axis=1)[:, :np_probe]
+        # stable: FP ties resolve to the lower cell id, matching the
+        # oracle's ORDER BY d2 ASC, cell ASC
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :np_probe]
         return pd.Series([row.tolist() for row in idx])
 
     return df.withColumn(out_col, cells(F.col(feat_col)))
