@@ -43,6 +43,27 @@ def test_lsh_bucket_gemm_matches_sql_fold(spark):
     assert fast == slow
 
 
+def test_builder_lsh_strategy_end_to_end(spark):
+    """The 100TB path, driven end to end: build the index with LSH
+    candidate generation and search it — λ materialized for every
+    item, self-query returns itself first."""
+    import numpy as np
+    from pyarrowspace_spark.builder import ArrowSpaceBuilder
+    from pyarrowspace_spark.operators.search import search
+
+    items = loaders.items_from_embeddings(spark, SF_DIR).select(
+        "item_id", "features")
+    idx = ArrowSpaceBuilder.build(
+        items, {"eps": 0.99, "k": 10, "topk": 10, "p": 2.0},
+        strategy="lsh")
+    assert idx.items.filter(F.col("lambda").isNull()).count() == 0
+    q = np.array(items.filter("item_id = 7").first()["features"]) * 1.05
+    hits = search(idx.items, idx.feature_laplacian, q, tau=0.62,
+                  k=5).orderBy("rank").collect()
+    assert len(hits) == 5
+    assert hits[0]["item_id"] == 7
+
+
 def test_auto_strategy_thresholds(spark):
     # below the ceiling auto == exact (broadcast scan); the constant
     # itself is the scale-path switch documented in knn_edges.
