@@ -182,11 +182,13 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
     explode tokens → per-bit vote via bit arithmetic → groupBy doc.
     Returns DataFrame[doc_id, simhash(long)].
     """
-    toks = (
-        docs.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("tok"))
-        .distinct()
-        .withColumn("h", T.portable_hash60("tok"))
-    )
+    # per-doc distinct is a row expression — no (doc, token) distinct
+    # shuffle; the only shuffle left is the vote groupBy, which
+    # partial-aggregates its 32 sums map-side
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(T.tokens(text_col))).alias("tok"),
+    ).withColumn("h", T.portable_hash60("tok"))
     votes = toks.select(
         id_col,
         *[(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
