@@ -148,10 +148,14 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2,
     map-side pair-explosion variant was tried and is ~2× slower here:
     it forfeits exchange reuse and pays per-row O(m²) HOF filters.)
     """
+    # per-doc set semantics via array_distinct BEFORE the explode — a
+    # row expression, not a (id, shingle) distinct shuffle; the join
+    # exchange on `shingle` is then the branch's only shuffle
     sh = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(T.word_ngrams(text_col, n)).alias("shingle"),
-    ).distinct()
+        F.explode(F.array_distinct(T.word_ngrams(text_col, n)))
+        .alias("shingle"),
+    )
     inter = (
         sh.alias("x").join(sh.alias("y"), "shingle")
         .filter(F.col("x.id") < F.col("y.id"))
