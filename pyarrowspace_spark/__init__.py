@@ -10,7 +10,7 @@ text analysis, multimodal columns).
 
 from .params import GraphParams, EnergyParams
 from .builder import ArrowSpaceBuilder, ArrowSpaceIndex
-from .session import get_spark
+from .session import get_spark, set_debug
 
 __version__ = "0.1.0"
 
@@ -20,4 +20,5 @@ __all__ = [
     "GraphParams",
     "EnergyParams",
     "get_spark",
+    "set_debug",
 ]

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .params import GraphParams, EnergyParams
+from .session import debug_print
 from .operators import knn as knn_ops
 from .operators import lambda_index as lam_ops
 
@@ -53,6 +54,32 @@ class ArrowSpaceIndex:
     def lambdas(self) -> DataFrame:
         """λ vector accessor (reference src/lib.rs:117-124)."""
         return self.items.select("item_id", "lambda")
+
+    def get_item(self, item_id: int) -> list[float]:
+        """Row-vector accessor (reference ArrowSpace.get_item,
+        src/lib.rs:78-97). Driver-side single-row lookup."""
+        row = self.items.filter(
+            self.items["item_id"] == int(item_id)).select("features").first()
+        if row is None:
+            raise IndexError(f"item_id {item_id} not in index")
+        return list(row["features"])
+
+    @property
+    def nnodes(self) -> int:
+        """Item-graph node count (reference GraphLaplacian.nnodes,
+        src/lib.rs:40-47): nodes that carry at least one edge."""
+        from pyspark.sql import functions as F
+
+        return (
+            self.edges.select(F.col("src").alias("n"))
+            .unionAll(self.edges.select(F.col("dst").alias("n")))
+            .distinct().count()
+        )
+
+    def shape(self) -> tuple[int, int]:
+        """Feature-Laplacian shape (reference GraphLaplacian.shape(),
+        src/lib.rs:48-52)."""
+        return tuple(self.feature_laplacian.shape)
 
     def graph_params(self) -> dict:
         """Self-describing index metadata (reference gl.graph_params,
@@ -154,6 +181,9 @@ class ArrowSpaceBuilder:
         tau_row = comp.select(
             F.expr("percentile(_ec.e_raw, 0.5)").alias("m")).first()
         tau_synth = float(tau_row["m"]) if tau_row["m"] is not None else 0.0
+        debug_print(
+            f"build: eps={params.eps} k={params.k} sigma={params.sigma} "
+            f"F={n_features} tau_synth(Median)={tau_synth}")
         if not (tau_synth > 0.0):
             # Degenerate spectrum: eps admitted no (or only disconnected)
             # edges, so every Rayleigh energy is 0. The reference panics

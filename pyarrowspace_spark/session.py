@@ -15,6 +15,24 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Mirror of the reference's global debug toggle (set_debug,
+# src/helpers.rs:12-21): a process-wide flag read by debug_print.
+_DEBUG = False
+
+
+def set_debug(enabled: bool) -> None:
+    """Enable/disable engine debug printing (reference set_debug)."""
+    global _DEBUG
+    _DEBUG = bool(enabled)
+
+
+def debug_print(msg: str) -> None:
+    """stderr printer gated on set_debug (reference src/helpers.rs:17-21)."""
+    if _DEBUG:
+        import sys
+
+        print(f"[pyarrowspace-spark] {msg}", file=sys.stderr)
+
 
 def get_spark(
     app_name: str = "pyarrowspace-spark",

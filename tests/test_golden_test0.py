@@ -53,6 +53,27 @@ def test_build_shapes(index):
     assert eig.min() > -1e-9
 
 
+def test_reference_accessor_mirror(index):
+    """API-parity accessors (reference src/lib.rs:40-124 +
+    src/helpers.rs:12-21): get_item round-trips the row vector, nnodes
+    counts graph nodes, shape() is the feature-Laplacian shape, and
+    set_debug gates the stderr printer."""
+    from pyarrowspace_spark import set_debug
+    from pyarrowspace_spark.session import debug_print
+
+    got = index.get_item(2)
+    assert got == pytest.approx(TEST0_ITEMS[2], abs=0.0)
+    with pytest.raises(IndexError):
+        index.get_item(99)
+    assert 2 <= index.nnodes <= 5
+    assert index.shape() == (24, 24)
+    set_debug(True)
+    try:
+        debug_print("accessor-mirror smoke")
+    finally:
+        set_debug(False)
+
+
 def test_lambdas_materialized(index):
     lams = {r["item_id"]: r["lambda"] for r in index.lambdas().collect()}
     assert len(lams) == 5
