@@ -140,6 +140,8 @@ class ArrowSpaceBuilder:
         strategy: str = "auto",
         sample_rate: float | None = None,
         seed: int = 42,
+        lsh_bits: int | None = None,
+        lsh_bands: int = 16,
     ) -> ArrowSpaceIndex:
         """`sample_rate` mirrors the reference's inline sampler
         ("Simple random sampler with keep rate 60.0%", log
@@ -172,8 +174,9 @@ class ArrowSpaceBuilder:
                 withReplacement=False, fraction=float(sample_rate),
                 seed=int(seed)).persist()
 
-        edges = knn_ops.knn_edges(graph_input, params,
-                                  strategy=strategy).persist()
+        edges = knn_ops.knn_edges(graph_input, params, strategy=strategy,
+                                  lsh_bits=lsh_bits,
+                                  lsh_bands=lsh_bands).persist()
         lf = lam_ops.feature_laplacian(graph_input, edges, n_features)
         # ONE Python kernel pass computes the τ-independent (e_raw, g);
         # τ-synthesis and the λ blend are JVM-side over that column.

@@ -9,12 +9,20 @@ Two physical strategies, one logical contract:
 - ``exact``: blocked cross-join + per-node top-k window. O(N^2) —
   correct at any N but only *sized* for N up to ~10^5. This is the
   correctness path used by tests and the DuckDB oracle.
-- ``lsh``: BucketedRandomProjectionLSH on unit-normalized vectors.
-  On the unit sphere, ||a-b||^2 = 2 - 2·cos(a,b), so the cosine
-  eps-ball maps exactly to a Euclidean ball of radius sqrt(2·eps);
-  the LSH join prunes candidate pairs before the same exact rescore.
-  This is the 100 TB path: candidate generation is bucket-local
-  (shuffle on bucket hash), never all-pairs.
+- ``lsh``: sign-random-projection band LSH. Items are hashed into
+  ``n_bands`` buckets of ``n_bits`` sign bits each (one broadcast
+  gemm), candidates are generated ONLY within each (band, bucket)
+  group by a partition-local Arrow gemm, then deduped and re-ranked
+  by the same eps/top-k contract. This is the 100 TB path: candidate
+  generation is bucket-local (one shuffle on the band key), never
+  all-pairs, and nothing N-sized ever touches the driver.
+
+  (An earlier revision used MLlib's BucketedRandomProjectionLSH;
+  its approxSimilarityJoin OR-amplifies single-projection buckets,
+  which on real embedding corpora collides nearly all pairs — the
+  candidate set degenerates to O(N^2) rows. The band construction
+  keeps the collision probability of non-neighbors at ~2^-n_bits
+  per band, which is what makes the bucket join sub-quadratic.)
 
 ``strategy='auto'`` switches on a row-count threshold.
 """
@@ -111,31 +119,37 @@ def _knn_directed_broadcast_scan(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            Q = np.stack(pdf[feat_col].to_numpy()).astype(np.float64)
-            qids = pdf[id_col].to_numpy(dtype=np.int64)
-            qn = np.linalg.norm(Q, axis=1)
-            cos = (Q @ X_all.T) / np.outer(qn, n_all)
-            dist = 1.0 - np.maximum(cos, 0.0)
-            out_s, out_d, out_v = [], [], []
-            for r in range(dist.shape[0]):
-                drow = dist[r]
-                mask = (drow <= eps_f) & (ids_all != qids[r])
-                cand = np.nonzero(mask)[0]
-                if cand.size == 0:
-                    continue
-                if cand.size > k_i:
-                    # k smallest by (dist, dst): lexsort minor->major
-                    order = np.lexsort((ids_all[cand], drow[cand]))[:k_i]
-                    cand = cand[order]
-                out_s.append(np.full(cand.size, qids[r], dtype=np.int64))
-                out_d.append(ids_all[cand])
-                out_v.append(drow[cand])
-            if out_s:
-                yield pd.DataFrame({
-                    "src": np.concatenate(out_s),
-                    "dst": np.concatenate(out_d),
-                    "dist": np.concatenate(out_v),
-                })
+            Q_full = np.stack(pdf[feat_col].to_numpy()).astype(np.float64)
+            qids_full = pdf[id_col].to_numpy(dtype=np.int64)
+            # Chunk the query rows so the R×N distance block stays
+            # bounded (~256×N doubles ≈ 160 MB at N=78k) — Arrow hands
+            # us up to 10k rows per batch, and 10k×N would be gigabytes.
+            for c0 in range(0, len(qids_full), 256):
+                Q = Q_full[c0:c0 + 256]
+                qids = qids_full[c0:c0 + 256]
+                qn = np.linalg.norm(Q, axis=1)
+                cos = (Q @ X_all.T) / np.outer(qn, n_all)
+                dist = 1.0 - np.maximum(cos, 0.0)
+                out_s, out_d, out_v = [], [], []
+                for r in range(dist.shape[0]):
+                    drow = dist[r]
+                    mask = (drow <= eps_f) & (ids_all != qids[r])
+                    cand = np.nonzero(mask)[0]
+                    if cand.size == 0:
+                        continue
+                    if cand.size > k_i:
+                        # k smallest by (dist, dst): lexsort minor->major
+                        order = np.lexsort((ids_all[cand], drow[cand]))[:k_i]
+                        cand = cand[order]
+                    out_s.append(np.full(cand.size, qids[r], dtype=np.int64))
+                    out_d.append(ids_all[cand])
+                    out_v.append(drow[cand])
+                if out_s:
+                    yield pd.DataFrame({
+                        "src": np.concatenate(out_s),
+                        "dst": np.concatenate(out_d),
+                        "dist": np.concatenate(out_v),
+                    })
 
     # Spread the gemm across cores: a single-file parquet scan arrives
     # as ONE partition, which would serialize the whole N×N scan on one
@@ -151,45 +165,142 @@ def _knn_directed_broadcast_scan(
 
 
 def _pairwise_candidates_lsh(
-    items: DataFrame, id_col: str, feat_col: str, eps: float
+    items: DataFrame,
+    id_col: str,
+    feat_col: str,
+    eps: float,
+    k: int | None = None,
+    n_bits: int | None = None,
+    n_bands: int = 16,
+    seed: int = 42,
+    n_items: int | None = None,
 ) -> DataFrame:
-    """LSH-pruned candidate pairs within the cosine eps-ball.
+    """Bucketed candidate pairs within the cosine eps-ball via
+    sign-random-projection band LSH.
 
-    Unit-normalizes, converts to MLlib vectors at the boundary only,
-    and uses approxSimilarityJoin with threshold sqrt(2*eps).
+    The 100 TB shape (three narrow/bucket-local stages, no driver
+    materialization of anything N-sized):
+
+      1. ONE Arrow pass per partition: gemm the unit-normalized batch
+         against a broadcast F×(bands·bits) Gaussian matrix, pack each
+         band's sign bits into an int64 key, emit ``n_bands`` rows
+         (band, key, id, unit_f32) per item.
+      2. Shuffle ONCE on (band, key); per bucket an Arrow gemm computes
+         intra-bucket rectified-cosine distances, applies the eps
+         predicate, and (if ``k``) caps emission at the k smallest per
+         src — lossless for downstream top-k, since any neighbor
+         crowded out of a bucket's top-k is also outside the global
+         top-k.
+      3. groupBy(src,dst) min(dist) dedupes pairs found in >1 band
+         (map-side combinable).
+
+    Collision probability for a pair at angle θ is (1-θ/π)^n_bits per
+    band; non-neighbors (θ≈π/2) collide at ~2^-n_bits, so candidate
+    count stays ~N·bands·bucket_size, never O(N²). ``n_bits`` defaults
+    to log2(N/256) clamped to [6, 20] — buckets of a few hundred rows
+    keep the per-bucket gemm cache-friendly while preserving recall.
+
+    Shuffled vectors are float32: half the shuffle bytes; the distance
+    error (~1e-7 relative) is far below any eps/ranking decision and
+    the path is approximate by contract (recall ≥ 0.95, SURVEY §7.3 #2).
     """
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, DoubleType, FloatType,
+                                   IntegerType, LongType, StructField,
+                                   StructType)
 
-    unit = items.select(
-        F.col(id_col).alias("id"),
-        array_to_vector(V.l2_normalize(feat_col)).alias("unit_vec"),
-    )
-    threshold = math.sqrt(max(2.0 * eps, 1e-12))
-    # Join threshold is padded 15% and 6 hash tables are used: the
-    # approx join only GENERATES candidates — the exact eps filter
-    # downstream re-verifies every distance, so padding buys edge
-    # recall (contract: >=0.95 of the exact graph, SURVEY §7.3 #2)
-    # at candidate-count cost, never correctness.
-    join_threshold = threshold * 1.15
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="unit_vec",
-        outputCol="hashes",
-        bucketLength=max(threshold, 1e-6),
-        numHashTables=6,
-        seed=42,
-    )
-    model = lsh.fit(unit)
-    joined = model.approxSimilarityJoin(unit, unit, join_threshold,
-                                        distCol="_eucl")
-    # d_cos = 1 - cos = eucl^2 / 2 on the unit sphere. Rectification:
-    # pairs with cos < 0 have eucl > sqrt(2) > threshold for eps <= 1,
-    # so they are already pruned.
-    return joined.select(
-        F.col("datasetA.id").alias("src"),
-        F.col("datasetB.id").alias("dst"),
-        (F.col("_eucl") * F.col("_eucl") / F.lit(2.0)).alias("dist"),
-    ).filter(F.col("src") != F.col("dst"))
+    spark = items.sparkSession
+    if n_items is None:
+        n_items = items.count()
+    if n_bits is None:
+        n_bits = int(min(20, max(6, round(math.log2(max(n_items / 256, 2))))))
+    first = items.select(F.size(feat_col).alias("n")).first()
+    fdim = int(first["n"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((fdim, n_bands * n_bits)).astype(np.float32)
+    b_planes = spark.sparkContext.broadcast(planes)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+    nb, bits = int(n_bands), int(n_bits)
+
+    hash_schema = StructType([
+        StructField("band", IntegerType(), False),
+        StructField("key", LongType(), False),
+        StructField("id", LongType(), False),
+        StructField("uvec", ArrayType(FloatType(), False), False),
+    ])
+
+    def hash_bands(batches):
+        R = b_planes.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[feat_col].to_numpy()).astype(np.float32)
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0.0] = 1.0
+            U = X / norms[:, None]
+            signs = (U @ R) >= 0.0                      # B × (bands·bits)
+            keys = signs.reshape(len(U), nb, bits).astype(np.int64) @ weights
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            uv = list(U)
+            yield pd.DataFrame({
+                "band": np.repeat(np.arange(nb, dtype=np.int32), len(U)),
+                "key": keys.T.ravel(),
+                "id": np.tile(ids, nb),
+                "uvec": uv * nb,
+            })
+
+    hashed = items.select(id_col, feat_col).mapInPandas(
+        hash_bands, schema=hash_schema)
+
+    pair_schema = StructType([
+        StructField("src", LongType(), False),
+        StructField("dst", LongType(), False),
+        StructField("dist", DoubleType(), False),
+    ])
+    eps_f = float(eps)
+    k_i = int(k) if k is not None else 0
+
+    def bucket_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"src": [], "dst": [], "dist": []}).astype(
+                {"src": np.int64, "dst": np.int64, "dist": np.float64})
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        U = np.stack(pdf["uvec"].to_numpy())
+        out_s, out_d, out_v = [], [], []
+        # Chunk rows so the chunk×n distance block stays bounded even
+        # in a pathologically skewed bucket.
+        for c0 in range(0, n, 1024):
+            Uc = U[c0:c0 + 1024]
+            cos = Uc @ U.T
+            dist = 1.0 - np.maximum(cos.astype(np.float64), 0.0)
+            for r in range(len(Uc)):
+                drow = dist[r]
+                mask = (drow <= eps_f) & (ids != ids[c0 + r])
+                cand = np.nonzero(mask)[0]
+                if cand.size == 0:
+                    continue
+                if k_i and cand.size > k_i:
+                    order = np.lexsort((ids[cand], drow[cand]))[:k_i]
+                    cand = cand[order]
+                out_s.append(np.full(cand.size, ids[c0 + r], dtype=np.int64))
+                out_d.append(ids[cand])
+                out_v.append(drow[cand])
+        if not out_s:
+            return pd.DataFrame({"src": [], "dst": [], "dist": []}).astype(
+                {"src": np.int64, "dst": np.int64, "dist": np.float64})
+        return pd.DataFrame({
+            "src": np.concatenate(out_s),
+            "dst": np.concatenate(out_d),
+            "dist": np.concatenate(out_v),
+        })
+
+    bucket_pairs = hashed.groupBy("band", "key").applyInPandas(
+        bucket_knn, schema=pair_schema)
+    # Dedupe across bands; min() is a no-op on value (the distance is
+    # the same pair function in every band) but makes the agg
+    # map-side combinable.
+    return bucket_pairs.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
 
 
 def knn_edges(
@@ -198,6 +309,8 @@ def knn_edges(
     id_col: str = "item_id",
     feat_col: str = "features",
     strategy: str = "auto",
+    lsh_bits: int | None = None,
+    lsh_bands: int = 16,
 ) -> DataFrame:
     """Build the symmetrized, weighted kNN edge list.
 
@@ -220,7 +333,10 @@ def knn_edges(
         if strategy == "exact-sql":
             cand = _pairwise_candidates_exact(items, id_col, feat_col)
         elif strategy == "lsh":
-            cand = _pairwise_candidates_lsh(items, id_col, feat_col, params.eps)
+            cand = _pairwise_candidates_lsh(
+                items, id_col, feat_col, params.eps, k=params.k,
+                n_bits=lsh_bits, n_bands=lsh_bands,
+            )
         else:
             raise ValueError(f"unknown strategy {strategy!r}")
 

