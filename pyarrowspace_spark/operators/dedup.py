@@ -19,6 +19,7 @@ replay every step bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -215,23 +216,50 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
 
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+                             vec_col: str = "embedding",
+                             strategy: str = "auto",
+                             lsh_bits: int | None = None,
+                             lsh_bands: int = 16) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
 
-    Exact path: broadcast corpus + partition-local BLAS scan (the N^2
-    space is filtered executor-side; only qualifying pairs reach the
-    output). At corpus sizes beyond executor memory, swap in the LSH
-    candidate generator from operators/knn.py — same contract.
+    Two physical strategies, one contract (mirrors knn_edges):
+
+    - ``exact`` (N ≤ EXACT_PATH_MAX_ROWS): broadcast corpus +
+      partition-local BLAS scan; the N² space is filtered
+      executor-side, only qualifying pairs reach the output.
+    - ``lsh``: the band-LSH candidate generator from operators/knn.py
+      with eps = 1 − t (cos ≥ t ⇔ rectified-cosine distance ≤ 1−t for
+      t > 0). Bucket-local pair generation, nothing N-sized on the
+      driver — the 100 TB path. Approximate by the same ≥0.95-recall
+      contract as the LSH graph build; pair cosines carry the f32
+      unit-vector rounding (~1e-7), far below any dedup threshold.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
 
+    from .knn import EXACT_PATH_MAX_ROWS, _pairwise_candidates_lsh
+    from ..functions.matrix import collect_id_matrix
+
+    if strategy == "auto":
+        strategy = ("exact" if emb.count() <= EXACT_PATH_MAX_ROWS
+                    else "lsh")
+    if strategy == "lsh":
+        cand = _pairwise_candidates_lsh(
+            emb, id_col, vec_col, eps=1.0 - float(threshold),
+            n_bits=lsh_bits, n_bands=lsh_bands)
+        return (
+            cand.filter(F.col("src") < F.col("dst"))
+            .select(F.col("src").alias("id_a"),
+                    F.col("dst").alias("id_b"),
+                    (F.lit(1.0) - F.col("dist")).alias("cos"))
+        )
+    if strategy != "exact":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
     spark = emb.sparkSession
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    ids, X = collect_id_matrix(emb, id_col, vec_col)
     norms = np.linalg.norm(X, axis=1)
     b_ids = spark.sparkContext.broadcast(ids)
     b_X = spark.sparkContext.broadcast(X)
@@ -294,25 +322,74 @@ def connected_components(pairs: DataFrame, iters: int = 8,
     return lab
 
 
+GLOBAL_SHARD_MAX_ROWS = 1_000_000
+
+
 def shard_by_token_budget(docs: DataFrame, budget_tokens: int,
                           id_col: str = "doc_id",
-                          text_col: str = "text") -> DataFrame:
+                          text_col: str = "text",
+                          global_order_max_rows: int = GLOBAL_SHARD_MAX_ROWS,
+                          ) -> DataFrame:
     """Training-export packing: assign docs (in deterministic id order)
-    to shards of ~`budget_tokens` via a running token-count window:
-    shard = floor((cumsum(tokens) - tokens) / budget).
+    to shards of ~`budget_tokens` tokens.
 
-    One global sort — at 100 TB shard WITHIN partitions instead
-    (partition id becomes a shard prefix) to avoid the single-ordering
-    shuffle; semantics per shard are identical.
+    Two physical strategies, one per-shard contract (every shard's
+    docs are id-contiguous and hold ≤ ~budget tokens):
+
+    - global (N ≤ `global_order_max_rows`): one total-order window,
+      shard = floor((cumsum(tokens) − tokens) / budget). Exact global
+      shard numbering; the single-ordering shuffle is fine at this N.
+    - partition-prefix (above): `repartitionByRange(id)` spreads the
+      corpus into id-contiguous partitions, then ONE Arrow pass per
+      partition computes the running cumsum and emits
+      shard = (partition_id << 32) | local_shard. No stage funnels
+      through a single task, so packing scales with the cluster; the
+      only difference from the global variant is that the last shard
+      of each partition may be under-full (bounded waste:
+      ≤ nparts·budget tokens across the whole corpus).
     """
     from ..functions import text as T
 
-    w = Window.orderBy(F.col(id_col).asc()).rowsBetween(
-        Window.unboundedPreceding, 0)
     counted = docs.select(
         id_col, T.token_count(text_col).alias("n_tokens"))
-    return counted.withColumn(
-        "shard",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
-                / F.lit(int(budget_tokens))).cast("long"),
-    )
+    if counted.count() <= int(global_order_max_rows):
+        w = Window.orderBy(F.col(id_col).asc()).rowsBetween(
+            Window.unboundedPreceding, 0)
+        return counted.withColumn(
+            "shard",
+            F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                    / F.lit(int(budget_tokens))).cast("long"),
+        )
+
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    budget = int(budget_tokens)
+    schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField("n_tokens", LongType(), False),
+        StructField("shard", LongType(), False),
+    ])
+
+    def pack(batches):
+        pid = TaskContext.get().partitionId()
+        prefix = pid << 32
+        running = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nt = pdf["n_tokens"].to_numpy(dtype=np.int64)
+            cum = running + np.cumsum(nt)
+            running = int(cum[-1])
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                "n_tokens": nt,
+                "shard": prefix | ((cum - nt) // budget),
+            })
+
+    spark = counted.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parted = counted.repartitionByRange(
+        nparts, F.col(id_col)).sortWithinPartitions(F.col(id_col))
+    return parted.mapInPandas(pack, schema=schema)

@@ -95,10 +95,10 @@ def _knn_directed_broadcast_scan(
     """
     import pandas as pd
 
+    from ..functions.matrix import collect_id_matrix
+
     spark = items.sparkSession
-    rows = items.select(id_col, feat_col).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    X = np.array([r[feat_col] for r in rows], dtype=np.float64)
+    ids, X = collect_id_matrix(items, id_col, feat_col)
     norms = np.linalg.norm(X, axis=1)
     b_ids = spark.sparkContext.broadcast(ids)
     b_X = spark.sparkContext.broadcast(X)

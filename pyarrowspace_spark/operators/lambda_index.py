@@ -75,16 +75,17 @@ def feature_laplacian(
     """
     from .knn import EXACT_PATH_MAX_ROWS
 
+    from ..functions.matrix import collect_id_matrix, positions_of, sorted_index
+
     n = items.count()
     if n <= EXACT_PATH_MAX_ROWS:
-        rows = items.select(id_col, feat_col).collect()
-        ids = {r[id_col]: i for i, r in enumerate(rows)}
-        X = np.array([r[feat_col] for r in rows], dtype=np.float64)
-        e_rows = edges.select("src", "dst", "weight").collect()
-        si = np.array([ids[r["src"]] for r in e_rows], dtype=np.int64)
-        di = np.array([ids[r["dst"]] for r in e_rows], dtype=np.int64)
-        w = np.array([r["weight"] for r in e_rows], dtype=np.float64)
-        deg = np.zeros(len(rows))
+        ids_arr, X = collect_id_matrix(items, id_col, feat_col)
+        s_ids, order = sorted_index(ids_arr)
+        e_pdf = edges.select("src", "dst", "weight").toPandas()
+        si = positions_of(e_pdf["src"].to_numpy(dtype=np.int64), s_ids, order)
+        di = positions_of(e_pdf["dst"].to_numpy(dtype=np.int64), s_ids, order)
+        w = e_pdf["weight"].to_numpy(dtype=np.float64)
+        deg = np.zeros(len(ids_arr))
         np.add.at(deg, si, w)
         np.add.at(deg, di, w)
         lf = (X * deg[:, None]).T @ X
@@ -95,24 +96,24 @@ def feature_laplacian(
 
     if n <= BROADCAST_GATHER_MAX_ROWS:
         spark = items.sparkSession
-        rows = items.select(id_col, feat_col).collect()
-        idx_of = {r[id_col]: i for i, r in enumerate(rows)}
-        X = np.array([r[feat_col] for r in rows], dtype=np.float64)
+        ids_arr, X = collect_id_matrix(items, id_col, feat_col)
+        s_ids, order = sorted_index(ids_arr)
         b_X = spark.sparkContext.broadcast(X)
-        b_idx = spark.sparkContext.broadcast(idx_of)
+        b_idx = spark.sparkContext.broadcast((s_ids, order))
         fdim = n_features
 
         def edge_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            Xl, pos = b_X.value, b_idx.value
+            Xl = b_X.value
+            s_l, ord_l = b_idx.value
             acc = np.zeros((fdim, fdim), dtype=np.float64)
             deg_local = np.zeros(len(Xl), dtype=np.float64)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                si = np.fromiter((pos[s] for s in pdf["src"]), dtype=np.int64,
-                                 count=len(pdf))
-                di = np.fromiter((pos[d] for d in pdf["dst"]), dtype=np.int64,
-                                 count=len(pdf))
+                si = positions_of(pdf["src"].to_numpy(dtype=np.int64),
+                                  s_l, ord_l)
+                di = positions_of(pdf["dst"].to_numpy(dtype=np.int64),
+                                  s_l, ord_l)
                 w = pdf["weight"].to_numpy(dtype=np.float64)
                 C = (Xl[si] * w[:, None]).T @ Xl[di]
                 acc -= C + C.T
