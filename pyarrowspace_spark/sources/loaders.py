@@ -47,19 +47,25 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; read nanos as long and expose both `ts_us` (epoch
-    micros, timezone-proof — matches DuckDB's micro truncation) and a
-    proper `ts` timestamp column for timestamp-typed operators."""
+    """Load events and expose both `ts_us` (epoch micros, timezone-proof
+    — matches DuckDB's micro truncation) and a TIMESTAMP-typed `ts` for
+    timestamp operators. Handles all three physical encodings the driver
+    has generated across rounds: TIMESTAMP(NANOS) (read as long via the
+    legacy conf), TIMESTAMP_NTZ (parquet timestamp[us] with no tz — the
+    session TZ is pinned UTC so the cast to TIMESTAMP is value-identity,
+    exactly what DuckDB computes from the naive value), and TIMESTAMP."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(raw.dtypes)["ts"] == "bigint":
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
         raw = (
             raw.withColumn("ts_us", F.expr("ts div 1000"))  # integer div —
             # float division would lose precision above 2^53 nanos
             .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
         )
     else:
+        if ts_type == "timestamp_ntz":
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
         raw = raw.withColumn("ts_us", F.unix_micros("ts"))
     return raw
 
