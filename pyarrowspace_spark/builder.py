@@ -142,6 +142,8 @@ class ArrowSpaceBuilder:
         seed: int = 42,
         lsh_bits: int | None = None,
         lsh_bands: int = 16,
+        dims_reduction: bool = False,
+        dims_k: int | None = None,
     ) -> ArrowSpaceIndex:
         """`sample_rate` mirrors the reference's inline sampler
         ("Simple random sampler with keep rate 60.0%", log
@@ -149,7 +151,21 @@ class ArrowSpaceBuilder:
         with_inline_sampling src/lib.rs:284): the GRAPH stages run on a
         seeded sample, but λ is still materialized for EVERY item
         (lambdas_len == nitems in the reference logs) against the
-        sampled graph's feature Laplacian."""
+        sampled graph's feature Laplacian.
+
+        `dims_reduction` mirrors the reference's
+        ``with_dims_reduction(true, Some(eps))`` hook (src/lib.rs:282):
+        the kNN GRAPH stage runs on a deterministic Rademacher random
+        projection of the vectors (`operators/dimred.random_project`) to
+        ``dims_k`` dims (auto: max(8, F//8) capped at 64) — at F=384
+        that cuts the candidate-gemm cost ~6-12× for a documented small
+        distance distortion. λ, the feature Laplacian, and every stored
+        artifact stay full-F, so the index shape and search API are
+        unchanged. Default OFF: the crate's internal reduction algorithm
+        is unpublished, and docs/GOLDEN_PARITY.md records the experiment
+        log showing no reduction variant reproduces the reference's
+        τ=0.6/0.55 golden — so we surface the hook without pretending to
+        replicate its exact numerics."""
         params = (
             graph_params
             if isinstance(graph_params, GraphParams)
@@ -165,6 +181,14 @@ class ArrowSpaceBuilder:
         base = items.select(
             F.col(id_col).alias("item_id"), F.col(feat_col).alias("features")
         )
+        if params.normalise:
+            # Unit-norm pre-normalization (P1, GRAPH_VARIABLES.md:3):
+            # graph topology is cosine-invariant to this, but the STORED
+            # vectors — and therefore e_raw/λ downstream — change
+            # (reference NORMALISATION.md "Downstream Spectral Analysis").
+            from .functions import vector as V
+
+            base = base.withColumn("features", V.l2_normalize("features"))
         # Edges + λ both traverse base twice — cache across the build.
         base = base.persist()
 
@@ -174,7 +198,23 @@ class ArrowSpaceBuilder:
                 withReplacement=False, fraction=float(sample_rate),
                 seed=int(seed)).persist()
 
+        graph_feat = "features"
+        if dims_reduction:
+            from .operators import dimred
+
+            k_red = dims_k if dims_k is not None else max(
+                8, min(64, n_features // 8))
+            if k_red < n_features:
+                graph_input = dimred.random_project(
+                    graph_input, k_red, n_features,
+                    feat_col="features", out_col="_graph_feat")
+                graph_feat = "_graph_feat"
+                debug_print(
+                    f"build: dims_reduction on — graph stage at k={k_red} "
+                    f"of F={n_features}")
+
         edges = knn_ops.knn_edges(graph_input, params, strategy=strategy,
+                                  feat_col=graph_feat,
                                   lsh_bits=lsh_bits,
                                   lsh_bands=lsh_bands).persist()
         lf = lam_ops.feature_laplacian(graph_input, edges, n_features)

@@ -23,7 +23,13 @@ class GraphParams:
     topk: int
     p: float = 2.0
     sigma: float | None = None
-    normalise: bool = True
+    # Reference builder default is normalise=false (DEBUG log
+    # tests/output/1760705545_v0_16/suggested_eps.md:3; the pyo3 binding
+    # doesn't parse the key at all, src/helpers.rs:48-77). When True the
+    # builder stores unit-normalized vectors — graph topology is
+    # cosine-invariant to this, but e_raw/λ change downstream
+    # (NORMALISATION.md "Downstream Spectral Analysis").
+    normalise: bool = False
     seed: int = 42
 
     def __post_init__(self) -> None:
