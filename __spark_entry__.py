@@ -285,6 +285,27 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 embedding source: batched text→vector featurization
+    (reference build_embeddings, tests/test_2_CVE_db.py:146-154; batch
+    loop tests/test_6_beir_new_score.py:149-199). Deterministic
+    feature-hashing codec (portable_hash60 buckets + signs, L2 norm,
+    ×12 rescale) as a SCALAR_ITER pandas_udf — oracle-checked as
+    exploded (doc_id, dim_idx, value) rows."""
+    from pyarrowspace_spark.sources import embed as EMB
+
+    _ship_package(spark)
+    docs = loaders.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = EMB.embed_text(docs)
+    return out.select(
+        "doc_id", F.posexplode("embedding").alias("dim_idx", "value")
+    ).select(
+        "doc_id",
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        F.round("value", 6).alias("value_r"),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting / quality scoring / fingerprinting (text analysis)."""
     docs = loaders.load_table(spark, sf_dir, "documents")
@@ -1086,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "sessionize": q_sessionize,
         "dedup_exact": q_dedup_exact,
+        "text_embed": q_text_embed,
         "text_stats": q_text_stats,
         "minhash_signatures": q_minhash_signatures,
         "minhash_band_pairs": q_minhash_band_pairs,
@@ -1752,6 +1774,37 @@ fp AS (SELECT doc_id, {_sql_hash60('norm')} AS fingerprint FROM toks)
 SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
        min(doc_id) AS keep_id
 FROM fp GROUP BY fingerprint""",
+
+        "text_embed": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS.format(t='text')}) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, {_sql_hash60('tok')} AS h FROM toks
+),
+sums AS (
+  SELECT doc_id, CAST(h % 64 AS BIGINT) AS dim_idx,
+         SUM(CASE WHEN (h // 64) % 2 = 1 THEN 1.0 ELSE -1.0 END) AS v
+  FROM hashed GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.doc_id, g.dim_idx
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN (SELECT CAST(unnest(range(64)) AS BIGINT) AS dim_idx) g
+),
+dims AS (
+  SELECT grid.doc_id, grid.dim_idx, COALESCE(s.v, 0.0) AS v
+  FROM grid LEFT JOIN sums s
+    ON s.doc_id = grid.doc_id AND s.dim_idx = grid.dim_idx
+),
+norms AS (
+  SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM dims GROUP BY doc_id
+)
+SELECT d.doc_id, d.dim_idx,
+       ROUND(CASE WHEN n.nrm > 0 THEN d.v / n.nrm * 12.0 ELSE 0.0 END,
+             6) AS value_r
+FROM dims d JOIN norms n ON d.doc_id = n.doc_id""",
 
         "text_stats": f"""
 WITH t AS (

@@ -1,0 +1,112 @@
+"""S10 embedding source: batched text → vector featurization.
+
+The reference's harnesses all start from raw text pushed through a
+sentence-transformer in explicit batches (reference
+tests/test_2_CVE_db.py:146-154 ``build_embeddings`` —
+``model.encode(...) * 1.2e1``; batched corpus/query loops
+tests/test_6_beir_new_score.py:149-199). A neural codec isn't available
+in this environment, so the PINNED featurizer is deterministic
+**feature hashing** (hashing trick, Weinberger et al. 2009, ICML —
+public math): per whitespace token, a 60-bit md5 hash picks a bucket
+and a sign; signed counts are L2-normalized and magnitude-rescaled
+(default ×12, mirroring the reference's explicit ×1.2e1 scale tuning).
+
+Spark-first shape: a SCALAR_ITER ``pandas_udf`` — each Arrow batch is
+featurized as one numpy pass, which is exactly the plumbing a real
+encoder needs at 100 TB (model load once per worker in the iterator
+prologue, then batch inference); swapping ``_hash_vector`` for a model
+call changes nothing in the plan. No shuffle: the featurizer is a
+narrow projection, so it composes with any downstream build/search
+stage without a boundary.
+
+The hash is ``portable_hash60`` (functions/text.py:170) so the DuckDB
+correctness oracle replays the identical embedding in pure SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+DEFAULT_DIMS = 64
+DEFAULT_SCALE = 12.0  # reference build_embeddings: X * 1.2e1
+
+
+def _hash60(token: str) -> int:
+    """== functions.text.portable_hash60: first 15 md5 hex chars."""
+    return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _hash_vector(text: str | None, dims: int, scale: float) -> np.ndarray:
+    """Signed-count feature hashing of the whitespace token stream.
+
+    bucket = h mod dims; sign = +1 if (h div dims) is odd else −1 —
+    bucket and sign draw on disjoint hash bits. Zero vector for empty/
+    null text (no tokens → nothing to normalize).
+    """
+    v = np.zeros(dims, dtype=np.float64)
+    if not text:
+        return v
+    for tok in text.lower().split(" "):
+        if not tok:
+            continue
+        h = _hash60(tok)
+        v[h % dims] += 1.0 if (h // dims) % 2 == 1 else -1.0
+    nrm = math.sqrt(float(v @ v))
+    if nrm > 0.0:
+        v *= scale / nrm
+    return v
+
+
+def text_embedder(dims: int = DEFAULT_DIMS, scale: float = DEFAULT_SCALE):
+    """Column function: text → array<double> embedding (batched).
+
+    SCALAR_ITER so per-worker setup (for a real model: load weights)
+    happens once per task, then every Arrow batch is processed
+    vectorized — the reference's explicit batch loop
+    (tests/test_6_beir_new_score.py:152-169) expressed as a Spark
+    iterator UDF.
+    """
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time prologue per task (model-load site for a real codec)
+        d, s = int(dims), float(scale)
+        for texts in batches:
+            yield pd.Series(
+                [_hash_vector(t, d, s) for t in texts.to_numpy()]
+            )
+
+    return embed
+
+
+def embed_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    dims: int = DEFAULT_DIMS,
+    scale: float = DEFAULT_SCALE,
+) -> DataFrame:
+    """Append an embedding column to a text DataFrame (S10).
+
+    Narrow, Arrow-batched — composes directly with
+    ``ArrowSpaceBuilder.build`` as the index-input featurizer, exactly
+    how the reference harness chains encode → build
+    (tests/test_2_CVE_db.py:146-170).
+    """
+    return df.withColumn(out_col, text_embedder(dims, scale)(F.col(text_col)))
+
+
+def embed_texts_local(
+    texts: list[str], dims: int = DEFAULT_DIMS, scale: float = DEFAULT_SCALE
+) -> np.ndarray:
+    """Driver-side helper for small query batches (the reference embeds
+    query text the same way as the corpus, tests/test_2_CVE_db.py:175)."""
+    return np.stack([_hash_vector(t, dims, scale) for t in texts])
