@@ -550,6 +550,12 @@ def q_nearest_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DIFF_ETA = 0.05
 DIFF_STEPS = 2
+# search_energy defaults (reference src/lib.rs:232-262 w_lambda=1.0,
+# w_dirichlet=0.5; EnergyParams.candidate_m=40) — mirrored into the
+# energy_search oracle SQL.
+ENERGY_W_LAMBDA = 1.0
+ENERGY_W_DIRICHLET = 0.5
+ENERGY_CANDIDATE_M = 40
 
 
 def q_energy_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,8 +577,11 @@ def q_energy_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_energy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Energy-only (cosine-free) search over the compressed optical-
-    token index (SURVEY §2 G13-G15). Deterministic but KMeans-based —
-    not SQL-expressible, so the driver records the rows-only check."""
+    token index (SURVEY §2 G13-G15). Oracle-checked end to end since
+    round 4: DuckDB recomputes the graph, diffusion, trim, F×F
+    Laplacian, e/g/λ, assignment, aggregates, shortlist and rescore in
+    pure SQL; only the seeded Lloyd centers (+ dispersion-split
+    children) are literal-injected, IVF-oracle precedent."""
     import numpy as np
 
     from pyarrowspace_spark.operators import energy as E
@@ -1265,6 +1274,234 @@ edges AS (
 )"""
 
 
+_ENERGY_ORACLE_CACHE: dict[str, object] = {}
+
+
+def _energy_oracle_literals():
+    """Lloyd centers (+ dispersion-split children) for the energy_search
+    oracle — the ONLY literal-injected stage (k-means init is not
+    SQL-expressible; same precedent as the IVF oracle). Every other
+    number — graph, diffusion, trim, L_F, e_raw/g/λ, assignment,
+    centroid aggregates, shortlist, rescore — is recomputed by DuckDB
+    from the parquet. The replica here recomputes the build numerically
+    from the raw table (numpy), then trains the identical seeded Lloyd
+    the Spark operator runs."""
+    if "lit" in _ENERGY_ORACLE_CACHE:
+        return _ENERGY_ORACLE_CACHE["lit"]
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pyarrowspace_spark.operators.lambda_index import _lambda_kernel
+    from pyarrowspace_spark.operators.simsearch import lloyd_kmeans
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas()
+    t = t.sort_values("vec_id")
+    X = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"]])
+    n = len(X)
+    nrm = np.linalg.norm(X, axis=1)
+    cosm = (X @ X.T) / np.outer(nrm, nrm)
+    dist = 1.0 - np.maximum(cosm, 0.0)
+    # directed eps + k-smallest (ties by dst), OR-symmetrize, kernel
+    canon: dict[tuple[int, int], float] = {}
+    for i in range(n):
+        cand = [(dist[i, j], j) for j in range(n)
+                if j != i and dist[i, j] <= KNN_EPS]
+        cand.sort()
+        for d_ij, j in cand[:KNN_K]:
+            key = (min(i, j), max(i, j))
+            canon[key] = min(canon.get(key, np.inf), d_ij)
+    W = np.zeros((n, n))
+    for (a, b), d_ab in canon.items():
+        w = 1.0 / (1.0 + (d_ab / KNN_SIGMA) ** KNN_P)
+        W[a, b] = W[b, a] = w
+    deg = W.sum(axis=1)
+    Xd = X.copy()
+    for _ in range(DIFF_STEPS):
+        Xd = (1.0 - DIFF_ETA * deg)[:, None] * Xd + DIFF_ETA * (W @ Xd)
+    # trim + feature Laplacian on the diffused space
+    wvals = np.array([1.0 / (1.0 + (d / KNN_SIGMA) ** KNN_P)
+                      for d in canon.values()])
+    cut = np.percentile(wvals, 10.0)
+    Wt = np.where(W >= cut, W, 0.0)
+    np.fill_diagonal(Wt, 0.0)
+    Lt = np.diag(Wt.sum(axis=1)) - Wt
+    LF = Xd.T @ Lt @ Xd
+    LF = (LF + LF.T) / 2.0
+    e_raw, g, _ = _lambda_kernel(Xd, LF, 1.0)  # tau only affects s_val
+    tau_synth = float(np.median(e_raw))
+    lam = (tau_synth * (e_raw / (e_raw + tau_synth))
+           + (1.0 - tau_synth) * np.clip(g, 0.0, 1.0))
+    centers0 = lloyd_kmeans(Xd, 40, seed=42)
+    d2 = ((Xd[:, None, :] - centers0[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    present = sorted(set(assign.tolist()))
+    disp = {c: float(lam[assign == c].std()) for c in present}
+    split_cut = np.percentile(np.array([disp[c] for c in present]), 90.0)
+    children = []  # (old_cid, child_id, center)
+    next_id = 40
+    for cid in sorted(c for c in present if disp[c] > split_cut):
+        M = Xd[assign == cid]
+        if len(M) < 2:
+            continue
+        c = M.mean(axis=0)
+        dev = M - c
+        _, s, vt = np.linalg.svd(dev, full_matrices=False)
+        if s[0] <= 1e-12:
+            continue
+        u = vt[0]
+        nz = np.nonzero(np.abs(u) > 1e-12)[0][0]
+        if u[nz] < 0:
+            u = -u
+        init = np.stack([c + 0.15 * u, c - 0.15 * u])
+        ch = lloyd_kmeans(M, 2, init=init, iters=10)
+        children.append((cid, next_id, ch[0]))
+        children.append((cid, next_id + 1, ch[1]))
+        next_id += 2
+    _ENERGY_ORACLE_CACHE["lit"] = (centers0, children)
+    return _ENERGY_ORACLE_CACHE["lit"]
+
+
+def _sql_energy_search() -> str:
+    centers0, children = _energy_oracle_literals()
+
+    def arr(v):
+        return "[{}]::DOUBLE[]".format(", ".join(repr(float(x)) for x in v))
+
+    cent_vals = ", ".join(f"({j}, {arr(centers0[j])})"
+                          for j in range(len(centers0)))
+    if children:
+        child_vals = ", ".join(
+            f"({old}, {cid}, {arr(c)})" for old, cid, c in children)
+        child_cte = f"children AS (SELECT * FROM (VALUES {child_vals}) " \
+                    "AS t(old_cid, child_id, c)),"
+        reassign = """
+reassign AS (
+  SELECT id, child_id AS centroid_id FROM (
+    SELECT a.id, ch.child_id,
+           row_number() OVER (PARTITION BY a.id ORDER BY
+             list_dot_product(x.e, x.e) - 2*list_dot_product(x.e, ch.c)
+               + list_dot_product(ch.c, ch.c) ASC, ch.child_id ASC) AS rn
+    FROM assign0 a JOIN xd x ON x.id = a.id
+    JOIN children ch ON ch.old_cid = a.centroid_id)
+  WHERE rn = 1),
+final_assign AS (
+  SELECT id, centroid_id FROM assign0
+  WHERE centroid_id NOT IN (SELECT DISTINCT old_cid FROM children)
+  UNION ALL SELECT id, centroid_id FROM reassign),"""
+    else:
+        child_cte = ""
+        reassign = "final_assign AS (SELECT id, centroid_id FROM assign0),"
+
+    qids = ", ".join(str(q) for q in LAMBDA_QIDS)
+    return f"""
+WITH {_sql_knn_edges_cte()},
+bothdir AS (SELECT src, dst, weight FROM edges
+            UNION ALL SELECT dst, src, weight FROM edges),
+deg AS (SELECT src AS id, sum(weight) AS d FROM bothdir GROUP BY 1),
+f0 AS (SELECT id, unnest(e) AS v, generate_subscripts(e,1) - 1 AS fi FROM emb),
+n0 AS (
+  SELECT e.dst AS id, f.fi, sum(e.weight * f.v) AS s
+  FROM bothdir e JOIN f0 f ON f.id = e.src GROUP BY 1, 2),
+d1 AS (
+  SELECT f0.id, f0.fi,
+         (1 - {DIFF_ETA} * coalesce(deg.d, 0)) * f0.v
+         + {DIFF_ETA} * coalesce(n0.s, 0) AS v
+  FROM f0 LEFT JOIN deg ON deg.id = f0.id
+  LEFT JOIN n0 ON n0.id = f0.id AND n0.fi = f0.fi),
+n1 AS (
+  SELECT e.dst AS id, f.fi, sum(e.weight * f.v) AS s
+  FROM bothdir e JOIN d1 f ON f.id = e.src GROUP BY 1, 2),
+d2step AS (
+  SELECT d1.id, d1.fi,
+         (1 - {DIFF_ETA} * coalesce(deg.d, 0)) * d1.v
+         + {DIFF_ETA} * coalesce(n1.s, 0) AS v
+  FROM d1 LEFT JOIN deg ON deg.id = d1.id
+  LEFT JOIN n1 ON n1.id = d1.id AND n1.fi = d1.fi),
+xd AS (SELECT id, list(v ORDER BY fi) AS e FROM d2step GROUP BY id),
+xf AS (SELECT id, fi, v FROM d2step),
+tcut AS (SELECT quantile_cont(weight, 0.1) AS c FROM edges),
+tboth AS (SELECT b.src, b.dst, b.weight FROM bothdir b, tcut
+          WHERE b.weight >= tcut.c),
+tdeg AS (SELECT src AS id, sum(weight) AS d FROM tboth GROUP BY 1),
+lf_deg AS (
+  SELECT a.fi AS f, b.fi AS g, sum(td.d * a.v * b.v) AS val
+  FROM xf a JOIN xf b ON a.id = b.id JOIN tdeg td ON td.id = a.id
+  GROUP BY 1, 2),
+lf_edge AS (
+  SELECT fa.fi AS f, fb.fi AS g, sum(e.weight * fa.v * fb.v) AS val
+  FROM tboth e JOIN xf fa ON fa.id = e.src JOIN xf fb ON fb.id = e.dst
+  GROUP BY 1, 2),
+lf AS (
+  SELECT d.f, d.g, d.val - coalesce(e.val, 0) AS val
+  FROM lf_deg d LEFT JOIN lf_edge e ON e.f = d.f AND e.g = d.g),
+eraw AS (
+  SELECT xa.id, sum(xa.v * lf.val * xb.v) AS e_raw
+  FROM xf xa JOIN lf ON lf.f = xa.fi JOIN xf xb
+    ON xb.id = xa.id AND xb.fi = lf.g
+  GROUP BY 1),
+wpos AS (SELECT f, g, greatest(-val, 0) AS w FROM lf WHERE f <> g),
+dispterms AS (
+  SELECT xa.id,
+         sum(w.w * (xa.v - xb.v) * (xa.v - xb.v)) AS tot,
+         sum(w.w * w.w * pow(xa.v - xb.v, 4)) AS sumsq
+  FROM wpos w JOIN xf xa ON xa.fi = w.f JOIN xf xb
+    ON xb.id = xa.id AND xb.fi = w.g
+  GROUP BY 1),
+gval AS (
+  SELECT id, CASE WHEN tot > 0 THEN least(greatest(sumsq / (tot * tot), 0), 1)
+                  ELSE 0 END AS g
+  FROM dispterms),
+tau AS (SELECT quantile_cont(e_raw, 0.5) AS t FROM eraw),
+lam AS (
+  SELECT e.id,
+         tau.t * (e.e_raw / (e.e_raw + tau.t)) + (1 - tau.t) * g.g AS lambda,
+         e.e_raw
+  FROM eraw e JOIN gval g ON g.id = e.id, tau),
+cents AS (SELECT * FROM (VALUES {cent_vals}) AS t(cell, c)),
+assign0 AS (
+  SELECT id, cell AS centroid_id FROM (
+    SELECT x.id, cents.cell,
+           row_number() OVER (PARTITION BY x.id ORDER BY
+             list_dot_product(x.e, x.e) - 2*list_dot_product(x.e, cents.c)
+               + list_dot_product(cents.c, cents.c) ASC, cents.cell ASC) AS rn
+    FROM xd x, cents)
+  WHERE rn = 1),
+{child_cte}
+{reassign}
+cattrs AS (
+  SELECT fa.centroid_id, avg(l.lambda) AS lambda_c, avg(l.e_raw) AS e_c
+  FROM final_assign fa JOIN lam l ON l.id = fa.id
+  GROUP BY 1),
+queries AS (
+  SELECT id AS query_id, lambda AS q_lambda, e_raw AS q_e
+  FROM lam WHERE id IN ({qids})),
+shortlist AS (
+  SELECT query_id, centroid_id, q_lambda, q_e FROM (
+    SELECT q.query_id, c.centroid_id, q.q_lambda, q.q_e,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {ENERGY_W_LAMBDA} / (1 + abs(q.q_lambda - c.lambda_c))
+             + {ENERGY_W_DIRICHLET} / (1 + abs(q.q_e - c.e_c)) DESC,
+             c.centroid_id ASC) AS rn
+    FROM queries q, cattrs c)
+  WHERE rn <= {ENERGY_CANDIDATE_M}),
+rescored AS (
+  SELECT s.query_id, fa.id AS item_id,
+         {ENERGY_W_LAMBDA} / (1 + abs(s.q_lambda - l.lambda))
+         + {ENERGY_W_DIRICHLET} / (1 + abs(s.q_e - l.e_raw)) AS score
+  FROM shortlist s
+  JOIN final_assign fa ON fa.centroid_id = s.centroid_id
+  JOIN lam l ON l.id = fa.id),
+ranked AS (
+  SELECT query_id, item_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, item_id ASC) AS rank
+  FROM rescored)
+SELECT query_id, item_id, CAST(rank AS BIGINT) AS rank,
+       round(score, 5) AS score_r
+FROM ranked WHERE rank <= {TOPK}"""
+
+
 def _sql_shingles_cte() -> str:
     toks = _SQL_TOKENS.format(t="text")
     return f"""
@@ -1933,6 +2170,7 @@ SELECT query_id, item_id, CAST(rank AS BIGINT) AS rank,
 FROM ranked WHERE rank <= {ANN_K}""",
 
         "ivf_ann_topk": _sql_ivf_ann(),
+        "energy_search": _sql_energy_search(),
 
         "rank_correlation": f"""
 WITH {_sql_cos_eucl_rankings_cte()},

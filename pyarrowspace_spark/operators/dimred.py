@@ -75,6 +75,7 @@ def two_nn_distances(
     items: DataFrame,
     id_col: str = "item_id",
     feat_col: str = "features",
+    max_rows: int = 4000,
 ) -> DataFrame:
     """Per-item (d1, d2): euclidean distance to the nearest and
     second-nearest other item, ties broken by neighbor id.
@@ -84,16 +85,25 @@ def two_nn_distances(
     exactly one (d1, d2) row per item — the N² pair space never
     materializes and nothing shuffles. (A per-pair SQL `aggregate`
     lambda costs ~100× a gemm — it was the 2nd-slowest bench query.)
-    At 100 TB run it on a sample; TwoNN needs only thousands of points.
+
+    Corpora above `max_rows` run on a deterministic hash-capped subset
+    (both the broadcast matrix AND the scanned rows — TwoNN is a
+    statistical estimator, stable on thousands of points; Facco et al.
+    2017 §2), so the driver collect is bounded at any corpus size. The
+    collect itself takes the Arrow columnar path (functions/matrix),
+    ~30× faster than Row collection for wide arrays.
     """
     import pandas as pd
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
 
+    from ..functions.matrix import collect_id_matrix
+    from .simsearch import deterministic_cap
+
     spark = items.sparkSession
-    rows = items.select(id_col, feat_col).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    X = np.array([r[feat_col] for r in rows], dtype=np.float64)
+    items = deterministic_cap(
+        items.select(id_col, feat_col), id_col, int(max_rows))
+    ids, X = collect_id_matrix(items, id_col, feat_col)
     b_ids = spark.sparkContext.broadcast(ids)
     b_X = spark.sparkContext.broadcast(X)
     b_sq = spark.sparkContext.broadcast((X * X).sum(axis=1))
@@ -134,10 +144,12 @@ def two_nn_intrinsic_dim(
     items: DataFrame,
     id_col: str = "item_id",
     feat_col: str = "features",
+    max_rows: int = 4000,
 ) -> DataFrame:
     """TwoNN MLE intrinsic dimension: one row
-    [n_used, id_mle] with d = n / Σ ln(d2/d1) over items with d1 > 0."""
-    two = two_nn_distances(items, id_col, feat_col)
+    [n_used, id_mle] with d = n / Σ ln(d2/d1) over items with d1 > 0.
+    Bounded by `max_rows` (see two_nn_distances)."""
+    two = two_nn_distances(items, id_col, feat_col, max_rows=max_rows)
     mu = two.filter(F.col("d1") > 0).select(
         (F.col("d2") / F.col("d1")).alias("mu")
     )

@@ -34,6 +34,11 @@ from ..params import EnergyParams, GraphParams
 from . import knn as knn_ops
 from . import lambda_index as lam_ops
 
+# Optical-token / split training matrices are collected driver-side;
+# above this row count the collect runs on a deterministic hash-capped
+# subset (same policy + helper as the IVF quantizer).
+COMPRESS_MAX_TRAIN = 100_000
+
 
 def diffusion_step(
     items: DataFrame,
@@ -160,72 +165,103 @@ def build_energy(
         "lambda", lam_ops.blend_lambda("_ec", tau_synth)
     ).drop("_ec").persist()
 
-    # G14: optical-token compression (seeded KMeans).
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    # G14: optical-token compression — the repo's deterministic seeded
+    # Lloyd quantizer (operators/simsearch.lloyd_kmeans, shared with
+    # IVF and the correctness oracle) instead of an engine-internal
+    # KMeans whose k-means|| init is not replayable outside the JVM.
+    # Training collects a deterministically hash-capped matrix via the
+    # Arrow path; assignment stays fully distributed (broadcast-gemm
+    # argmin), so the plan scales exactly like IVF.
+    from ..functions.matrix import collect_id_matrix
+    from .simsearch import deterministic_cap, ivf_assign, lloyd_kmeans
 
     k_tokens = int(eparams.optical_tokens or 40)
-    fv = indexed.select("item_id", array_to_vector("features").alias("fv"))
-    km = KMeans(k=k_tokens, seed=42, featuresCol="fv",
-                predictionCol="centroid_id", maxIter=20)
-    model = km.fit(fv)
-    assigned = model.transform(fv).select("item_id", "centroid_id")
+    train = deterministic_cap(indexed.select("item_id", "features"),
+                              "item_id", COMPRESS_MAX_TRAIN)
+    _, x_train = collect_id_matrix(train.orderBy("item_id"),
+                                   "item_id", "features")
+    centers0 = lloyd_kmeans(x_train, k_tokens, seed=42)
+    assigned = ivf_assign(
+        indexed.select("item_id", "features"), centers0,
+        "features", "cells", n_probe=1,
+    ).select("item_id", F.explode("cells").alias("centroid_id"))
     with_c = indexed.join(assigned, "item_id")
 
-    centroids = with_c.groupBy("centroid_id").agg(
-        F.count("*").alias("n_members"),
-        F.avg("lambda").alias("lambda_c"),
-        F.avg("e_raw").alias("e_c"),
-        F.stddev_pop("lambda").alias("disp_c"),
-    )
-    centers = model.clusterCenters()
-    spark = items.sparkSession
-    centers_df = spark.createDataFrame(
-        [(int(i), [float(v) for v in c]) for i, c in enumerate(centers)],
-        schema="centroid_id int, center array<double>",
-    )
-    centroids = centroids.join(centers_df, "centroid_id")
-
-    # G13b: one bounded dispersion-split pass — centroids above the
-    # split_quantile of disp_c are refined by a 2-means on their
-    # members (driver loop over a handful of cluster ids).
-    split_cut = centroids.select(
-        F.expr(f"percentile(disp_c, {float(eparams.split_quantile)})").alias("c")
-    ).collect()[0]["c"]
-    to_split = [r["centroid_id"] for r in
-                centroids.filter(F.col("disp_c") > F.lit(split_cut)
-                                 + F.lit(float(eparams.split_tau))).collect()]
-    if to_split:
-        sub = with_c.filter(F.col("centroid_id").isin(to_split))
-        sub_fv = sub.select("item_id", array_to_vector("features").alias("fv"))
-        km2 = KMeans(k=min(2 * len(to_split), max(2, len(to_split) * 2)),
-                     seed=43, featuresCol="fv",
-                     predictionCol="sub_id", maxIter=10)
-        m2 = km2.fit(sub_fv)
-        re = m2.transform(sub_fv).select(
-            "item_id",
-            (F.col("sub_id") + F.lit(k_tokens)).alias("centroid_id"),
-        )
-        assigned = (
-            assigned.join(re.select("item_id"), "item_id", "left_anti")
-            .unionAll(re)
-        )
-        with_c = indexed.join(assigned, "item_id")
-        # Recompute centroid attributes + centers (member means).
-        centroids = with_c.groupBy("centroid_id").agg(
+    def _centroid_attrs(wc: DataFrame) -> DataFrame:
+        """Aggregate member attributes + member-mean centers per token."""
+        return wc.groupBy("centroid_id").agg(
             F.count("*").alias("n_members"),
             F.avg("lambda").alias("lambda_c"),
             F.avg("e_raw").alias("e_c"),
             F.stddev_pop("lambda").alias("disp_c"),
         ).join(
-            with_c.select("centroid_id",
-                          F.posexplode("features").alias("fi", "v"))
+            wc.select("centroid_id",
+                      F.posexplode("features").alias("fi", "v"))
             .groupBy("centroid_id", "fi").agg(F.avg("v").alias("m"))
             .groupBy("centroid_id")
             .agg(F.array_sort(F.collect_list(F.struct("fi", "m"))).alias("fm"))
             .select("centroid_id", F.col("fm.m").alias("center")),
             "centroid_id",
         )
+
+    centroids = _centroid_attrs(with_c)
+
+    # G13b: one bounded dispersion-split pass. Centroids above the
+    # `split_quantile` of member-λ dispersion are split in two;
+    # `split_tau` is the SPLIT OFFSET MAGNITUDE applied to the child
+    # centroids (reference src/lib.rs:318 "split_tau: split offset
+    # magnitude") — children start at c ± split_tau·u along the
+    # dominant member direction u, then Lloyd refines from that
+    # deterministic init. (Earlier rounds misused split_tau as a
+    # threshold offset, which *suppressed* splits as it grew —
+    # ADVICE r2 item 5.)
+    split_cut = centroids.select(
+        F.expr(f"percentile(disp_c, {float(eparams.split_quantile)})").alias("c")
+    ).collect()[0]["c"]
+    to_split = sorted(
+        r["centroid_id"]
+        for r in centroids.filter(
+            F.col("disp_c") > F.lit(float(split_cut))).collect()
+    )
+    if to_split:
+        spark = items.sparkSession
+        next_id = k_tokens
+        for cid in to_split:
+            sub = with_c.filter(F.col("centroid_id") == cid)
+            m_cap = deterministic_cap(sub.select("item_id", "features"),
+                                      "item_id", COMPRESS_MAX_TRAIN)
+            _, M = collect_id_matrix(m_cap.orderBy("item_id"),
+                                     "item_id", "features")
+            if len(M) < 2:
+                continue
+            c = M.mean(axis=0)
+            dev = M - c
+            # dominant member direction (top right-singular vector),
+            # sign-fixed so the split is orientation-deterministic
+            _, s, vt = np.linalg.svd(dev, full_matrices=False)
+            if s[0] <= 1e-12:
+                continue  # degenerate cluster: nothing to split
+            u = vt[0]
+            nz = np.nonzero(np.abs(u) > 1e-12)[0][0]
+            if u[nz] < 0:
+                u = -u
+            tau_off = float(eparams.split_tau)
+            init = np.stack([c + tau_off * u, c - tau_off * u])
+            children = lloyd_kmeans(M, 2, init=init, iters=10)
+            re = ivf_assign(sub.select("item_id", "features"), children,
+                            "features", "cells", n_probe=1).select(
+                "item_id", F.explode("cells").alias("child")
+            ).select(
+                "item_id",
+                (F.col("child") + F.lit(next_id)).alias("centroid_id"),
+            )
+            assigned = (
+                assigned.join(re.select("item_id"), "item_id", "left_anti")
+                .unionAll(re)
+            )
+            next_id += 2
+        with_c = indexed.join(assigned, "item_id")
+        centroids = _centroid_attrs(with_c)
 
     return EnergyIndex(
         items=with_c,

@@ -154,13 +154,19 @@ def ann_cosine_topk(
 
 
 def lloyd_kmeans(X: np.ndarray, k: int, seed: int = 42,
-                 iters: int = 20) -> np.ndarray:
+                 iters: int = 20,
+                 init: np.ndarray | None = None) -> np.ndarray:
     """Deterministic seeded Lloyd's k-means (numpy). Init = seeded
-    row sample; empty clusters keep their previous centroid. Shared by
-    the IVF quantizer AND the oracle-SQL generator so both engines use
+    row sample (or the explicit `init` centers, e.g. the ±split_tau
+    children of a dispersion split); empty clusters keep their previous
+    centroid. Shared by the IVF quantizer, the energy optical-token
+    compressor, AND the oracle-SQL generator so every engine uses
     bit-identical centroids."""
-    rng = np.random.RandomState(seed)
-    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    if init is not None:
+        C = np.array(init, dtype=np.float64, copy=True)
+    else:
+        rng = np.random.RandomState(seed)
+        C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
     for _ in range(iters):
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
@@ -171,20 +177,45 @@ def lloyd_kmeans(X: np.ndarray, k: int, seed: int = 42,
     return C
 
 
+def deterministic_cap(df: DataFrame, id_col: str, max_rows: int,
+                      seed: int = 42,
+                      n_rows: int | None = None) -> DataFrame:
+    """Cap a DataFrame at `max_rows` rows, deterministically across
+    partitionings: a row-wise xxhash64 filter (no partition-seeded
+    `sample`, whose picks shift with the physical split) thins to
+    ~1.2×max_rows, then orderBy(id).limit — a total order, so any two
+    reads of the same data agree row-for-row. One narrow pass + a
+    top-K-style limit; no full sort materialization at scale (Spark
+    runs orderBy+limit as TakeOrdered)."""
+    n = df.count() if n_rows is None else int(n_rows)
+    if n <= max_rows:
+        return df
+    denom = 1 << 20
+    num = max(1, min(denom, int(denom * 1.2 * max_rows / n)))
+    thinned = df.filter(
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(int(seed))), F.lit(denom))
+        < F.lit(num)
+    )
+    return thinned.orderBy(id_col).limit(int(max_rows))
+
+
 def ivf_centroids(items: DataFrame, n_centroids: int, seed: int = 42,
                   id_col: str = "item_id",
                   feat_col: str = "features",
-                  max_train: int = 100_000) -> np.ndarray:
+                  max_train: int = 100_000,
+                  n_rows: int | None = None) -> np.ndarray:
     """IVF coarse quantizer: deterministic Lloyd's on a driver-side
-    training matrix (broadcastable). Rows are collected in id order so
-    the result is independent of partitioning; corpora above
-    `max_train` train on a seeded sample — the standard IVF design
-    (quantizers train on a subset; assignment stays distributed)."""
-    df = items.select(id_col, feat_col)
-    if df.count() > max_train:
-        df = df.sample(False, fraction=0.1, seed=seed).limit(max_train)
-    rows = df.orderBy(id_col).collect()
-    X = np.array([r[feat_col] for r in rows], dtype=np.float64)
+    training matrix (broadcastable). Corpora above `max_train` train on
+    a deterministic hash-capped subset (`deterministic_cap`) — same
+    centroids for any partitioning of the same data, unlike the old
+    `sample().limit()` which picked partition-order-arbitrary rows.
+    `n_rows` skips the count job when the caller already knows it.
+    Collection uses the Arrow columnar path (functions/matrix)."""
+    from ..functions.matrix import collect_id_matrix
+
+    df = deterministic_cap(items.select(id_col, feat_col), id_col,
+                           max_train, seed=seed, n_rows=n_rows)
+    ids, X = collect_id_matrix(df.orderBy(id_col), id_col, feat_col)
     return lloyd_kmeans(X, n_centroids, seed=seed)
 
 
