@@ -769,6 +769,7 @@ def q_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", F.round("mean_diff", 6).alias("mean_diff_r"),
         F.round("std_diff", 6).alias("std_diff_r"),
         F.round("t_stat", 6).alias("t_stat_r"),
+        F.round("p_value", 9).alias("p_value_r"),
     )
 
 
@@ -2451,11 +2452,40 @@ h AS (SELECT query_id, avg(cos) AS v FROM rr
       WHERE rank2 <= {TTEST_HEAD_K} GROUP BY 1),
 t AS (SELECT query_id, avg(cos) AS v FROM rr
       WHERE rank2 > {TTEST_HEAD_K} GROUP BY 1),
-d AS (SELECT h.v - t.v AS d FROM h JOIN t USING (query_id))
-SELECT count(*)::BIGINT AS n, round(avg(d), 6) AS mean_diff_r,
-       round(stddev_samp(d), 6) AS std_diff_r,
-       round(avg(d) / (stddev_samp(d) / sqrt(count(*))), 6) AS t_stat_r
-FROM d""",
+d AS (SELECT h.v - t.v AS d FROM h JOIN t USING (query_id)),
+stat AS (
+  SELECT count(*)::BIGINT AS n, avg(d) AS mean_diff, stddev_samp(d) AS std_diff,
+         avg(d) / (stddev_samp(d) / sqrt(count(*))) AS t_stat
+  FROM d),
+-- identical closed-form p-value as metrics.student_t_two_sided_p:
+-- exact gamma-ratio fold + fixed-grid Simpson over [0, |t|]
+pcalc AS (
+  SELECT n, mean_diff, std_diff, t_stat,
+    (SELECT CASE WHEN nu >= 2 THEN
+        list_reduce(list_prepend(1.0/sqrt(pi()),
+                    list_transform(range(2, CAST(nu AS INT) + 1),
+                                   i -> CAST(i AS DOUBLE))),
+                    (a, b) -> ((b - 1.0) / 2.0) / a)
+        ELSE 1.0/sqrt(pi()) END
+     FROM (SELECT n - 1 AS nu)) AS gamma_ratio
+  FROM stat),
+pval AS (
+  SELECT n, mean_diff, std_diff, t_stat,
+    1.0 - 2.0 * (
+      SELECT sum(CASE WHEN i = 0 OR i = {M.T_SIMPSON_M} THEN 1.0
+                      WHEN i % 2 = 1 THEN 4.0 ELSE 2.0 END
+                 * (gamma_ratio / sqrt((n - 1) * pi()))
+                 * pow(1.0 + pow(i * abs(t_stat) / {M.T_SIMPSON_M}, 2)
+                               / (n - 1),
+                       -(n - 1 + 1.0) / 2.0))
+      FROM range(0, {M.T_SIMPSON_M} + 1) AS r(i)
+    ) * (abs(t_stat) / {M.T_SIMPSON_M}) / 3.0 AS p
+  FROM pcalc)
+SELECT n, round(mean_diff, 6) AS mean_diff_r,
+       round(std_diff, 6) AS std_diff_r,
+       round(t_stat, 6) AS t_stat_r,
+       round(greatest(least(p, 1.0), 0.0), 9) AS p_value_r
+FROM pval""",
     }
     # hybrid is pinned == lambda-aware (G6 spec gap, SURVEY §2.11):
     # same inputs, same SQL twin.

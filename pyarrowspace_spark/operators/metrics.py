@@ -198,27 +198,86 @@ def rbo(rank_a: DataFrame, rank_b: DataFrame, p: float = 0.9,
     return out.select("query_id", expr.alias("rbo"))
 
 
+#: Simpson intervals for the Student-t integral — error O(h⁴) ≈ 1e-13
+#: at |t|≲10, far below the 1e-9 oracle tolerance.
+T_SIMPSON_M = 2000
+
+
+def student_t_two_sided_p(t: Column, nu: Column,
+                          m: int = T_SIMPSON_M) -> Column:
+    """Two-sided Student-t p-value P(|T_ν| > |t|) as a pure column
+    expression (public math, no scipy):
+
+      pdf(x) = C(ν)·(1 + x²/ν)^(−(ν+1)/2),
+      C(ν)   = Γ((ν+1)/2) / (√(νπ)·Γ(ν/2)),
+      p      = 1 − 2·∫₀^{|t|} pdf.
+
+    The Γ-ratio R(ν) = Γ((ν+1)/2)/Γ(ν/2) is exact via the recurrence
+    R(ν) = ((ν−1)/2)/R(ν−1), R(1) = 1/√π — a fold over sequence(2..ν).
+    The integral is fixed-grid Simpson (M intervals), so the identical
+    arithmetic runs in DuckDB for the oracle. Everything stays inside
+    whole-stage codegen: no UDF, no collect.
+    """
+    import math
+
+    t_abs = F.abs(t)
+    nu_d = nu.cast("double")
+    r0 = F.lit(1.0 / math.sqrt(math.pi))
+    gamma_ratio = F.when(
+        nu >= F.lit(2),
+        F.aggregate(
+            F.sequence(F.lit(2), nu.cast("int")),
+            r0,
+            lambda acc, i: ((i.cast("double") - F.lit(1.0)) / F.lit(2.0)) / acc,
+        ),
+    ).otherwise(r0)
+    c = gamma_ratio / F.sqrt(nu_d * F.lit(math.pi))
+    h = t_abs / F.lit(float(m))
+
+    def pdf(x: Column) -> Column:
+        return c * F.pow(F.lit(1.0) + (x * x) / nu_d,
+                         -(nu_d + F.lit(1.0)) / F.lit(2.0))
+
+    # Simpson weights: 1 at the ends, 4 on odd, 2 on even interior nodes.
+    simpson = F.aggregate(
+        F.sequence(F.lit(0), F.lit(int(m))),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.when((i == 0) | (i == F.lit(int(m))), F.lit(1.0))
+           .when(i % 2 == 1, F.lit(4.0))
+           .otherwise(F.lit(2.0))
+        * pdf(i.cast("double") * h),
+    ) * h / F.lit(3.0)
+    p = F.lit(1.0) - F.lit(2.0) * simpson
+    return F.when(t.isNotNull(), F.greatest(F.least(p, F.lit(1.0)),
+                                            F.lit(0.0)))
+
+
 def paired_ttest(metric_a: DataFrame, metric_b: DataFrame,
                  value_col: str = "value") -> DataFrame:
     """Paired t-test over per-query metric pairs (reference
     tests/test_3_beir.py:357-381 uses scipy.stats.ttest_rel; same
-    statistic in closed form from aggregate moments — no scipy, no
-    collect): t = mean(d) / (stddev_samp(d)/sqrt(n)), d = a - b.
+    statistic AND two-sided p-value in closed form from aggregate
+    moments — no scipy, no collect): t = mean(d)/(stddev_samp(d)/√n),
+    p = P(|T_{n−1}| > |t|) via `student_t_two_sided_p`.
 
     Inputs: DataFrame[query_id, value] each. Output one row
-    [n, mean_diff, std_diff, t_stat]. The p-value lookup is a
-    t-CDF — left to the caller (deterministic given n and t).
+    [n, mean_diff, std_diff, t_stat, p_value].
     """
     joined = metric_a.select("query_id", F.col(value_col).alias("a")).join(
         metric_b.select("query_id", F.col(value_col).alias("b")), "query_id"
     )
     d = joined.select((F.col("a") - F.col("b")).alias("d"))
-    return d.agg(
+    agg = d.agg(
         F.count("*").cast("long").alias("n"),
         F.avg("d").alias("mean_diff"),
         F.stddev_samp("d").alias("std_diff"),
         (F.avg("d") / (F.stddev_samp("d") / F.sqrt(F.count("*"))))
         .alias("t_stat"),
+    )
+    return agg.withColumn(
+        "p_value",
+        student_t_two_sided_p(F.col("t_stat"), F.col("n") - F.lit(1)),
     )
 
 

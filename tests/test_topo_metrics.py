@@ -104,3 +104,45 @@ def test_mrr_topo_no_relevant(dfs, spark):
     assert row["mrr_topo"] == 0.0
     assert row["td_ndcg"] == 0.0
     assert row["g_rbp"] == 0.0
+
+
+def test_greedy_modularity_two_cliques(spark):
+    """CNM greedy (reference algorithm family,
+    test_6_beir_new_score.py:256-263) recovers two cliques joined by a
+    weak bridge, and its modularity beats-or-ties weighted LPA on the
+    same graph."""
+    from pyarrowspace_spark.operators import topology as TOP
+    import pyspark.sql.functions as F
+
+    cl1, cl2 = [0, 1, 2, 3], [10, 11, 12, 13]
+    rows = []
+    for grp in (cl1, cl2):
+        for i in range(len(grp)):
+            for j in range(i + 1, len(grp)):
+                rows.append((grp[i], grp[j], 1.0))
+    rows.append((3, 10, 0.05))  # weak bridge
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+
+    comm = TOP.greedy_modularity_communities(edges)
+    got = {r["node"]: r["community"] for r in comm.collect()}
+    assert len({got[n] for n in cl1}) == 1
+    assert len({got[n] for n in cl2}) == 1
+    assert got[0] != got[10]
+
+    q_greedy = TOP.modularity(edges, comm).agg(
+        F.sum("q_c")).collect()[0][0]
+    lpa = TOP.label_propagation(edges, iters=4)
+    q_lpa = TOP.modularity(edges, lpa).agg(F.sum("q_c")).collect()[0][0]
+    assert q_greedy >= q_lpa - 1e-12
+    assert q_greedy > 0.3   # two-community split of 2 cliques: Q ~ 0.5
+
+
+def test_greedy_modularity_max_nodes_guard(spark):
+    from pyarrowspace_spark.operators import topology as TOP
+    import pytest as _pt
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(20)],
+        "src long, dst long, weight double")
+    with _pt.raises(ValueError, match="max_nodes"):
+        TOP.greedy_modularity_communities(edges, max_nodes=5)
