@@ -38,5 +38,18 @@ def sorted_index(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 def positions_of(
     keys: np.ndarray, sorted_ids: np.ndarray, order: np.ndarray
 ) -> np.ndarray:
-    """Row positions of `keys` in the original ids array (vectorized)."""
-    return order[np.searchsorted(sorted_ids, keys)]
+    """Row positions of `keys` in the original ids array (vectorized).
+
+    Raises KeyError on any key absent from the ids — without the check
+    `searchsorted` silently gathers the wrong row (or IndexErrors only
+    past the array end), which would corrupt a future caller's frame
+    join invisibly."""
+    pos = np.searchsorted(sorted_ids, keys)
+    pos_c = np.minimum(pos, len(sorted_ids) - 1)
+    if not np.array_equal(sorted_ids[pos_c], keys):
+        missing = np.asarray(keys)[(pos >= len(sorted_ids))
+                                   | (sorted_ids[pos_c] != keys)]
+        raise KeyError(
+            f"{missing.size} edge id(s) absent from the items array "
+            f"(first few: {missing[:5].tolist()})")
+    return order[pos_c]

@@ -219,7 +219,8 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float,
                              vec_col: str = "embedding",
                              strategy: str = "auto",
                              lsh_bits: int | None = None,
-                             lsh_bands: int = 16) -> DataFrame:
+                             lsh_bands: int = 16,
+                             n_rows: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
 
     Two physical strategies, one contract (mirrors knn_edges):
@@ -243,7 +244,8 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float,
     from ..functions.matrix import collect_id_matrix
 
     if strategy == "auto":
-        strategy = ("exact" if emb.count() <= EXACT_PATH_MAX_ROWS
+        n = emb.count() if n_rows is None else int(n_rows)
+        strategy = ("exact" if n <= EXACT_PATH_MAX_ROWS
                     else "lsh")
     if strategy == "lsh":
         cand = _pairwise_candidates_lsh(
@@ -329,6 +331,7 @@ def shard_by_token_budget(docs: DataFrame, budget_tokens: int,
                           id_col: str = "doc_id",
                           text_col: str = "text",
                           global_order_max_rows: int = GLOBAL_SHARD_MAX_ROWS,
+                          n_rows: int | None = None,
                           ) -> DataFrame:
     """Training-export packing: assign docs (in deterministic id order)
     to shards of ~`budget_tokens` tokens.
@@ -352,7 +355,8 @@ def shard_by_token_budget(docs: DataFrame, budget_tokens: int,
 
     counted = docs.select(
         id_col, T.token_count(text_col).alias("n_tokens"))
-    if counted.count() <= int(global_order_max_rows):
+    n = counted.count() if n_rows is None else int(n_rows)
+    if n <= int(global_order_max_rows):
         w = Window.orderBy(F.col(id_col).asc()).rowsBetween(
             Window.unboundedPreceding, 0)
         return counted.withColumn(

@@ -311,6 +311,7 @@ def knn_edges(
     strategy: str = "auto",
     lsh_bits: int | None = None,
     lsh_bands: int = 16,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Build the symmetrized, weighted kNN edge list.
 
@@ -321,9 +322,13 @@ def knn_edges(
       eps filter (GRAPH_VARIABLES.md:7) -> per-node k-smallest heap
       == row_number window (GRAPH_VARIABLES.md:8) -> symmetrize ->
       kernel weight (GRAPH_VARIABLES.md:9).
+
+    `n_rows`: pass a precomputed count to skip the strategy-switch
+    Spark job (an extra eager count per call otherwise).
     """
     if strategy == "auto":
-        strategy = "exact" if items.count() <= EXACT_PATH_MAX_ROWS else "lsh"
+        n = items.count() if n_rows is None else int(n_rows)
+        strategy = "exact" if n <= EXACT_PATH_MAX_ROWS else "lsh"
     if strategy == "exact":
         # eps + per-node top-k already applied partition-locally.
         knn = _knn_directed_broadcast_scan(

@@ -7,9 +7,12 @@ Math pinned by the reference design docs and the test_0 golden rankings
   λτ-graph Laplacian ("feature-space Laplacian … built from item graph
   signals", GRAPH_VARIABLES.md:17, TAUMODE.md:12;
   GraphFactory::build_spectral_laplacian).
-- e_raw(x)   = xᵀ L_F x        (TAUMODE.md:18,24 — the golden τ=0.9
-  ranking of reference tests/test_0.py:35-42 pins the *unnormalized*
-  quadratic form: the reference's query λ is scale-sensitive).
+- e_raw(x)   = xᵀ L_F x        (TAUMODE.md:18,24 *documents* the
+  normalized Rayleigh quotient xᵀLx/xᵀx, but reproducing the golden
+  τ=0.9 ranking of reference tests/test_0.py:35-42 requires the
+  *unnormalized* quadratic form — the reference's query λ is
+  scale-sensitive in practice, so we pin the form that matches the
+  observable behavior over the doc; see GOLDEN_PARITY.md §3).
 - e_bounded  = e/(e+τ)          (TAUMODE.md:19,25)
 - g_raw      = Σ s_ij²,  s_ij = w_ij(x_i-x_j)²/Σ w_uv(x_u-x_v)²,
   w_ij = max(0, -L_F[i,j])      (TAUMODE.md:26)
