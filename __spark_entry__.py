@@ -26,6 +26,7 @@ from pyarrowspace_spark.operators import analytics as A
 from pyarrowspace_spark.operators import dedup as D
 from pyarrowspace_spark.operators import metrics as M
 from pyarrowspace_spark.operators import knn as KNN
+from pyarrowspace_spark.operators import quality as Q
 from pyarrowspace_spark.operators.search import brute_force_cosine_topk
 from pyarrowspace_spark.params import GraphParams
 from pyarrowspace_spark.sources import loaders
@@ -303,6 +304,67 @@ def q_text_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("dim_idx").cast("long").alias("dim_idx"),
         F.round("value", 6).alias("value_r"),
+    )
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family word-repetition quality signals (public method,
+    Rae et al. 2021 §A1.1): type-token ratio + fraction of word chars
+    in the most frequent unigram / bigram."""
+    from pyarrowspace_spark.operators import quality as Q
+
+    docs = loaders.load_table(spark, sf_dir, "documents")
+    out = Q.repetition_signals(docs)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("distinct_ratio", 6).alias("distinct_ratio_r"),
+        F.round("top_unigram_frac", 6).alias("top_unigram_frac_r"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac_r"),
+    )
+
+
+# Deterministic PII injection for the scrub demo/oracle: every 5th doc
+# gets an email + a 13-digit id + a URL appended, so the redaction path
+# is actually exercised (the synthetic corpus contains no natural PII).
+_PII_SUFFIX = (" contact user{id}@example.com id 1234567890123"
+               " see https://ex.org/d{id}")
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / ≥9-digit runs / URLs → typed tags) with
+    per-doc redaction counts; scrubbed text is value-checked via its
+    portable 60-bit fingerprint."""
+    from pyarrowspace_spark.operators import quality as Q
+
+    docs = loaders.load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id"),
+                F.lit("@example.com id 1234567890123 see https://ex.org/d"),
+                F.col("doc_id"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = Q.scrub_pii(docs)
+    return out.select(
+        "doc_id", "n_emails", "n_urls", "n_digit_runs",
+        T.portable_hash60(F.col("scrubbed_text")).alias("scrubbed_fp"),
+    )
+
+
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-α source-mixture sampling weights
+    w_s ∝ (tokens_s/Σ)^α (public multi-corpus training recipe)."""
+    from pyarrowspace_spark.operators import quality as Q
+
+    docs = loaders.load_table(spark, sf_dir, "documents")
+    out = Q.source_mixture_weights(docs)
+    return out.select(
+        "source", "n_docs", "n_tokens",
+        F.round("weight", 9).alias("weight_r"),
     )
 
 
@@ -1119,6 +1181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_embed": q_text_embed,
         "text_stats": q_text_stats,
+        "repetition_signals": q_repetition_signals,
+        "scrub_pii": q_scrub_pii,
+        "source_mixture": q_source_mixture,
         "minhash_signatures": q_minhash_signatures,
         "minhash_band_pairs": q_minhash_band_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2043,6 +2108,95 @@ SELECT d.doc_id, d.dim_idx,
        ROUND(CASE WHEN n.nrm > 0 THEN d.v / n.nrm * 12.0 ELSE 0.0 END,
              6) AS value_r
 FROM dims d JOIN norms n ON d.doc_id = n.doc_id""",
+
+        "repetition_signals": f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS tk FROM documents
+),
+base AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         len(list_distinct(tk)) AS n_distinct,
+         list_reduce(list_prepend(0, list_transform(tk, t -> length(t))),
+                     (a, b) -> a + b) AS n_word_chars
+  FROM toks
+),
+uni AS (
+  SELECT doc_id, max(cnt * length(g)) AS top_uni_chars FROM (
+    SELECT doc_id, g, count(*) AS cnt FROM (
+      SELECT doc_id, unnest(tk) AS g FROM toks) GROUP BY 1, 2)
+  GROUP BY 1
+),
+bi AS (
+  SELECT doc_id, max(cnt * (length(g) - 1)) AS top_bi_chars FROM (
+    SELECT doc_id, g, count(*) AS cnt FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                                   i -> tk[i] || ' ' || tk[i + 1])) AS g
+      FROM toks) GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       round(CASE WHEN b.n_tokens > 0
+                  THEN b.n_distinct * 1.0 / b.n_tokens ELSE 0 END,
+             6) AS distinct_ratio_r,
+       round(CASE WHEN b.n_word_chars > 0
+                  THEN coalesce(u.top_uni_chars, 0) * 1.0 / b.n_word_chars
+                  ELSE 0 END, 6) AS top_unigram_frac_r,
+       round(CASE WHEN b.n_word_chars > 0
+                  THEN coalesce(bb.top_bi_chars, 0) * 1.0 / b.n_word_chars
+                  ELSE 0 END, 6) AS top_bigram_frac_r
+FROM base b LEFT JOIN uni u ON u.doc_id = b.doc_id
+LEFT JOIN bi bb ON bb.doc_id = b.doc_id""",
+
+        "scrub_pii": f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || doc_id
+                   || '@example.com id 1234567890123 see https://ex.org/d'
+                   || doc_id
+              ELSE text END AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{Q.EMAIL_RE}')) AS n_emails,
+         regexp_replace(text, '{Q.EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM injected
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{Q.URL_RE}')) AS n_urls,
+         regexp_replace(t1, '{Q.URL_RE}', '<URL>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_urls,
+         len(regexp_extract_all(t2, '{Q.LONG_DIGITS_RE}')) AS n_digit_runs,
+         regexp_replace(t2, '{Q.LONG_DIGITS_RE}', '<NUM>', 'g') AS scrubbed
+  FROM s2
+)
+SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(n_digit_runs AS BIGINT) AS n_digit_runs,
+       {_sql_hash60('scrubbed')} AS scrubbed_fp
+FROM s3""",
+
+        "source_mixture": f"""
+WITH per_src AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len({_SQL_TOKENS.format(t='text')}))::BIGINT AS n_tokens
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         pow(n_tokens * 1.0 / sum(n_tokens) OVER (),
+             {Q.MIXTURE_ALPHA}) AS raw
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       round(raw / sum(raw) OVER (), 9) AS weight_r
+FROM w""",
 
         "text_stats": f"""
 WITH t AS (

@@ -1,0 +1,140 @@
+"""Training-corpus quality operators (LLM-data-pipeline layer).
+
+Word-level repetition signals in the Gopher family (Rae et al. 2021,
+"Scaling Language Models: ... Gopher", §A1.1 repetition filters —
+public method), a PII scrubber (email / long-digit-run / URL
+redaction), and temperature-based source-mixture weights (multinomial
+sampling with exponent α, the standard multi-corpus recipe from GPT-3 /
+XLM-R data work — public method).
+
+Everything is pure Spark SQL (JVM codegen, shuffle only where an
+aggregation is inherent); each operator has an exactly-equivalent
+DuckDB oracle formulation in __spark_entry__.py. Regex patterns stay in
+the Java∩RE2 common subset so both engines match the same spans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+# Java regex and RE2 agree on these (no lookaround, no backrefs).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+LONG_DIGITS_RE = "[0-9]{9,}"
+URL_RE = "https?://[^ ]+"
+
+MIXTURE_ALPHA = 0.7  # temperature exponent; <1 upweights small sources
+
+
+def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-doc repetition metrics over the whitespace token stream:
+
+    - ``distinct_ratio``   = distinct tokens / tokens (type-token ratio)
+    - ``top_unigram_frac`` = max over tokens of count·len(token) /
+      Σ len(token) — fraction of word characters inside the most
+      repeated word (Gopher's "fraction of characters in the most
+      common word").
+    - ``top_bigram_frac``  = same for word 2-grams (spaces excluded
+      from the character counts).
+
+    Plan: one explode per n-gram order → partial-aggregated groupBy →
+    per-doc max. Shuffle rows are (doc, gram) counts — never the raw
+    text twice.
+    """
+    toks = docs.select(id_col, T.tokens(text_col).alias("tk"))
+    base = toks.select(
+        id_col,
+        F.size("tk").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).alias("n_distinct"),
+        F.aggregate("tk", F.lit(0),
+                    lambda acc, t: acc + F.length(t)).alias("n_word_chars"),
+    )
+    uni = (
+        toks.select(id_col, F.explode("tk").alias("g"))
+        .groupBy(id_col, "g").count()
+        .groupBy(id_col)
+        .agg(F.max(F.col("count") * F.length("g")).alias("top_uni_chars"))
+    )
+    bi = (
+        toks.select(id_col, F.explode(
+            F.zip_with(F.slice("tk", 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                       F.slice("tk", 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+                       lambda a, b: F.concat_ws(" ", a, b))).alias("g"))
+        .groupBy(id_col, "g").count()
+        .groupBy(id_col)
+        .agg(F.max(F.col("count")
+                   * (F.length("g") - F.lit(1))).alias("top_bi_chars"))
+    )
+    return (
+        base.join(uni, id_col, "left").join(bi, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.when(F.col("n_tokens") > 0,
+                   F.col("n_distinct") / F.col("n_tokens"))
+             .otherwise(F.lit(0.0)).alias("distinct_ratio"),
+            F.when(F.col("n_word_chars") > 0,
+                   F.coalesce("top_uni_chars", F.lit(0))
+                   / F.col("n_word_chars"))
+             .otherwise(F.lit(0.0)).alias("top_unigram_frac"),
+            F.when(F.col("n_word_chars") > 0,
+                   F.coalesce("top_bi_chars", F.lit(0))
+                   / F.col("n_word_chars"))
+             .otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+
+def scrub_pii(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Redact emails → ``<EMAIL>``, ≥9-digit runs → ``<NUM>``, URLs →
+    ``<URL>``; report per-doc redaction counts and the scrubbed text.
+
+    Narrow (zero shuffle): three regexp passes inside one projection.
+    At 100 TB this is the canonical cheap-scan shape — the scan cost
+    dominates, the regexes ride along.
+    """
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    after_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_url = F.size(F.regexp_extract_all(after_email, F.lit(URL_RE), F.lit(0)))
+    after_url = F.regexp_replace(after_email, URL_RE, "<URL>")
+    n_num = F.size(F.regexp_extract_all(after_url, F.lit(LONG_DIGITS_RE),
+                                        F.lit(0)))
+    scrubbed = F.regexp_replace(after_url, LONG_DIGITS_RE, "<NUM>")
+    return docs.select(
+        id_col,
+        n_email.cast("long").alias("n_emails"),
+        n_url.cast("long").alias("n_urls"),
+        n_num.cast("long").alias("n_digit_runs"),
+        scrubbed.alias("scrubbed_text"),
+    )
+
+
+def source_mixture_weights(docs: DataFrame, alpha: float = MIXTURE_ALPHA,
+                           source_col: str = "source",
+                           text_col: str = "text") -> DataFrame:
+    """Per-source corpus stats + temperature-α sampling weights:
+    w_s ∝ (tokens_s / Σtokens)^α, normalized to Σw = 1. α < 1 flattens
+    the mixture toward small sources (multinomial temperature sampling,
+    public multi-corpus training recipe).
+
+    One groupBy(source) — map-side combinable — then a scalar total via
+    a window over the tiny per-source frame.
+    """
+    per_src = docs.select(
+        source_col, T.token_count(text_col).alias("n_tok")
+    ).groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    raw = F.pow(F.col("n_tokens") / F.sum("n_tokens").over(w_all),
+                F.lit(float(alpha)))
+    return per_src.select(
+        source_col, "n_docs", "n_tokens",
+        (raw / F.sum(raw).over(w_all)).alias("weight"),
+    )

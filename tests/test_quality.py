@@ -1,0 +1,73 @@
+"""Training-corpus quality operators (operators/quality.py): Gopher
+repetition signals, PII scrubbing, source-mixture weights — numpy/
+hand-computed ground truths."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyarrowspace_spark.operators import quality as Q
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "a a a a", "s1"),                    # pure repetition
+        (1, "the cat sat on the mat", "s1"),
+        (2, "go go go stop go go", "s2"),
+        (3, "", "s2"),
+        (4, "one two three four five six", "s2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_repetition_signals_hand_values(docs):
+    out = {r["doc_id"]: r for r in Q.repetition_signals(docs).collect()}
+    # doc 0: 4 tokens 'a' -> distinct 1/4; top unigram 4*1/4 chars = 1.0;
+    # bigrams 'a a' x3 -> 3*2/4 = 1.5 (can exceed 1 for degenerate docs)
+    assert out[0]["distinct_ratio"] == pytest.approx(0.25)
+    assert out[0]["top_unigram_frac"] == pytest.approx(1.0)
+    assert out[0]["top_bigram_frac"] == pytest.approx(1.5)
+    # doc 1: 6 tokens, 17 word chars, 'the' x2 -> 2*3/17
+    assert out[1]["n_tokens"] == 6
+    assert out[1]["distinct_ratio"] == pytest.approx(5 / 6)
+    assert out[1]["top_unigram_frac"] == pytest.approx(6 / 17)
+    # doc 3: empty -> all zeros
+    assert out[3]["n_tokens"] == 0
+    assert out[3]["distinct_ratio"] == 0.0
+    assert out[3]["top_bigram_frac"] == 0.0
+    # doc 4: all distinct -> ratio 1, low repetition
+    assert out[4]["distinct_ratio"] == pytest.approx(1.0)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    rows = [
+        (0, "mail me at a.b+c@ex-ample.org or 123456789012 now"),
+        (1, "see https://x.io/p?q=1 and http://y.z/a"),
+        (2, "clean text 12345678 short digits stay"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in Q.scrub_pii(df).collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["n_digit_runs"] == 1
+    assert "<EMAIL>" in out[0]["scrubbed_text"]
+    assert "<NUM>" in out[0]["scrubbed_text"]
+    assert "a.b+c@" not in out[0]["scrubbed_text"]
+    assert out[1]["n_urls"] == 2
+    assert out[1]["scrubbed_text"].count("<URL>") == 2
+    # 8-digit run is below the >=9 threshold: untouched
+    assert out[2]["n_digit_runs"] == 0
+    assert "12345678" in out[2]["scrubbed_text"]
+
+
+def test_source_mixture_weights_alpha(docs):
+    out = {r["source"]: r for r in
+           Q.source_mixture_weights(docs, alpha=0.5).collect()}
+    # s1: 4+6=10 tokens; s2: 6+0+6=12 tokens
+    assert out["s1"]["n_tokens"] == 10 and out["s2"]["n_tokens"] == 12
+    w1, w2 = out["s1"]["weight"], out["s2"]["weight"]
+    assert w1 + w2 == pytest.approx(1.0)
+    # alpha<1 compresses the gap: weight ratio = (10/12)^0.5, not 10/12
+    assert w1 / w2 == pytest.approx((10 / 12) ** 0.5)
+    # alpha=1 recovers proportional sampling
+    out1 = {r["source"]: r["weight"] for r in
+            Q.source_mixture_weights(docs, alpha=1.0).collect()}
+    assert out1["s1"] == pytest.approx(10 / 22)
