@@ -104,8 +104,12 @@ def search_hybrid(
 ) -> DataFrame:
     """Reference `search_hybrid` (src/lib.rs:182-219) — same inputs and
     blend family as `search`; the crate-internal variant formula is not
-    published (SURVEY §2.11 spec gap), so we pin hybrid == lambda-aware
-    and keep the entry point for API parity."""
+    published (SURVEY §2.11 spec gap) AND no reference test or output
+    log ever calls search_hybrid (grep over tests/: zero call sites —
+    the harness "Hybrid (τ=0.8)" blocks all use plain `search`, e.g.
+    tests/test_2_CVE_db.py:585-587), so there is no observable behavior
+    to match. We pin hybrid == lambda-aware and keep the entry point
+    for API parity."""
     return search(index, lf, queries, tau, k, **kwargs)
 
 

@@ -72,3 +72,27 @@ def test_search_has_no_python_row_udf(spark):
 def test_minhash_no_cartesian(spark):
     plan = _plan(em.q_minhash_band_pairs(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_text_embed_scan_prunes_columns(spark):
+    """The embed source must read only (doc_id, text) — a featurizer
+    that drags all document columns through the scan wastes IO at
+    100 TB."""
+    plan = _plan(em.q_text_embed(spark, SF_DIR))
+    assert "ArrowEvalPython" in plan          # batched, not row-at-a-time
+    assert "lang" not in plan and "n_chars" not in plan
+
+
+def test_scrub_pii_is_narrow(spark):
+    """scrub_pii is a pure projection: no Exchange in the plan."""
+    from pyarrowspace_spark.operators.quality import scrub_pii
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(scrub_pii(docs))
+    assert "Exchange" not in plan
+
+
+def test_repetition_signals_no_cartesian(spark):
+    plan = _plan(em.q_repetition_signals(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
