@@ -1018,6 +1018,16 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("component").cast("long").alias("component"))
 
 
+def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-export survivor list: exact-dup groups AND
+    near-dup components each keep min(doc_id); everything else passes.
+    The composition a 100 TB corpus export actually consumes."""
+    docs = loaders.load_table(spark, sf_dir, "documents")
+    out = D.dedup_keeplist(docs, n=JACCARD_N, threshold=JACCARD_T,
+                           cc_iters=CC_ITERS)
+    return out.select("doc_id", "keep")
+
+
 def q_shard_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-export shard packing: running token budget of
     SHARD_TOKENS per shard in deterministic doc order."""
@@ -1219,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tau_sweep": q_tau_sweep,
         "magnitude_report": q_magnitude_report,
         "dup_components": q_dup_components,
+        "dedup_keeplist": q_dedup_keeplist,
         "shard_by_tokens": q_shard_by_tokens,
         "eps_sweep": q_eps_sweep,
         "clean_corpus": q_clean_corpus,
@@ -2749,6 +2760,27 @@ inter AS (
   GROUP BY 1, 2),
 {','.join(_cc_blocks)}
 SELECT node, CAST(component AS BIGINT) AS component FROM cc{CC_ITERS}"""
+
+    _toks_kl = _SQL_TOKENS.format(t="text")
+    d["dedup_keeplist"] = f"""
+WITH {_sql_shingles_cte()},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+{','.join(_cc_blocks)},
+fpt AS (
+  SELECT doc_id, array_to_string({_toks_kl}, ' ') AS norm FROM documents),
+fp AS (SELECT doc_id, {_sql_hash60('norm')} AS fingerprint FROM fpt),
+fp_keep AS (SELECT fingerprint, min(doc_id) AS keep_id
+            FROM fp GROUP BY 1),
+exact_ok AS (
+  SELECT fp.doc_id, fp.doc_id = k.keep_id AS exact_keep
+  FROM fp JOIN fp_keep k USING (fingerprint)),
+near AS (SELECT node, node = component AS near_keep FROM cc{CC_ITERS})
+SELECT e.doc_id, e.exact_keep AND coalesce(n.near_keep, TRUE) AS keep
+FROM exact_ok e LEFT JOIN near n ON n.node = e.doc_id"""
 
     _eps_blocks = []
     for _e in EPS_SWEEP:

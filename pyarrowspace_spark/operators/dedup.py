@@ -219,7 +219,7 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float,
                              vec_col: str = "embedding",
                              strategy: str = "auto",
                              lsh_bits: int | None = None,
-                             lsh_bands: int = 16,
+                             lsh_bands: int | None = None,
                              n_rows: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
 
@@ -325,6 +325,42 @@ def connected_components(pairs: DataFrame, iters: int = 8,
 
 
 GLOBAL_SHARD_MAX_ROWS = 1_000_000
+
+
+def dedup_keeplist(docs: DataFrame, n: int = 3, threshold: float = 0.2,
+                   cc_iters: int = 8, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """End-to-end dedup survivor list — the operator a training export
+    actually consumes: exact dups AND near-dup components collapse to
+    one survivor each (min id), everything else passes through.
+
+    Pipeline (each stage is the already-oracle-checked operator):
+      exact fingerprint groups → n-gram-Jaccard pair graph →
+      connected components → keep = min(component) ∧ min(fingerprint
+      group). Returns DataFrame[doc_id, keep] (keep=false rows are the
+      ones a training export drops). Anti-join-free: one left join per
+      stage against small survivor tables; every join key is an id or
+      60-bit hash, so AQE broadcast handles the survivor side at scale.
+    """
+    fp = docs.select(F.col(id_col),
+                     T.content_fingerprint(text_col).alias("fingerprint"))
+    fp_keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias("keep_id"))
+    exact_ok = fp.join(fp_keep, "fingerprint").select(
+        id_col, (F.col(id_col) == F.col("keep_id")).alias("_exact_keep"))
+    pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold,
+                                id_col=id_col, text_col=text_col)
+    comp = connected_components(pairs, iters=cc_iters)
+    comp_keep = comp.select(
+        F.col("node").alias(id_col),
+        (F.col("node") == F.col("component")).alias("_near_keep"))
+    return (
+        exact_ok.join(comp_keep, id_col, "left")
+        .select(
+            id_col,
+            (F.col("_exact_keep")
+             & F.coalesce("_near_keep", F.lit(True))).alias("keep"),
+        )
+    )
 
 
 def shard_by_token_budget(docs: DataFrame, budget_tokens: int,

@@ -71,3 +71,22 @@ def test_source_mixture_weights_alpha(docs):
     out1 = {r["source"]: r["weight"] for r in
             Q.source_mixture_weights(docs, alpha=1.0).collect()}
     assert out1["s1"] == pytest.approx(10 / 22)
+
+
+def test_dedup_keeplist_composition(spark):
+    """Exact dups and near-dups each keep min(id); unique docs pass."""
+    from pyarrowspace_spark.operators.dedup import dedup_keeplist
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),      # exact dup of 0
+        (2, "alpha beta gamma delta epsilon eta theta"), # near-dup of 0
+        (3, "totally different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["keep"] for r in
+           dedup_keeplist(df, n=3, threshold=0.2).collect()}
+    assert out[0] is True          # survivor of both groups
+    assert out[1] is False         # exact dup
+    assert out[2] is False         # near-dup component member
+    assert out[3] is True          # unique
