@@ -146,7 +146,7 @@ class ArrowSpaceBuilder:
         sample_rate: float | None = None,
         seed: int = 42,
         lsh_bits: int | None = None,
-        lsh_bands: int = 16,
+        lsh_bands: int | None = None,
         dims_reduction: bool = False,
         dims_k: int | None = None,
     ) -> ArrowSpaceIndex:

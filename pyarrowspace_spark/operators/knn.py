@@ -164,6 +164,28 @@ def _knn_directed_broadcast_scan(
     return src.mapInPandas(scan, schema=schema)
 
 
+#: Design point for the auto-bands rule: effective per-bit collision
+#: factor measured on the synthetic CVE-shaped corpus at N=78,580
+#: (recall 0.9772 with bits=8 bands=16 ⇒ f_eff = 0.21^(1/8) ≈ 0.823;
+#: the same model predicts the OBSERVED 0.914 recall at N=313,841 with
+#: bits=10 bands=16 — the round-4 anchor run that motivated the rule).
+LSH_DESIGN_COLLISION = 0.82
+#: −ln(target miss probability): 3.0 ⇒ ≥95% recall design target.
+LSH_MISS_BUDGET = 3.0
+
+
+def auto_lsh_bands(n_bits: int) -> int:
+    """Bands needed to hold the ≥0.95 recall contract at a given band
+    width: miss = (1 − f^bits)^bands ≤ e^−3. Bands grow ~linearly in
+    bits (≈ log N), so total LSH work is N·log N at fixed recall — the
+    correct asymptotic; a fixed band count silently degrades recall as
+    the corpus grows (observed: 0.977 @ 78k → 0.914 @ 313k)."""
+    import math as _m
+
+    p = LSH_DESIGN_COLLISION ** int(n_bits)
+    return max(16, int(_m.ceil(LSH_MISS_BUDGET / -_m.log(max(1.0 - p, 1e-12)))))
+
+
 def _pairwise_candidates_lsh(
     items: DataFrame,
     id_col: str,
@@ -171,7 +193,7 @@ def _pairwise_candidates_lsh(
     eps: float,
     k: int | None = None,
     n_bits: int | None = None,
-    n_bands: int = 16,
+    n_bands: int | None = None,
     seed: int = 42,
     n_items: int | None = None,
 ) -> DataFrame:
@@ -214,6 +236,8 @@ def _pairwise_candidates_lsh(
         n_items = items.count()
     if n_bits is None:
         n_bits = int(min(20, max(6, round(math.log2(max(n_items / 256, 2))))))
+    if n_bands is None:
+        n_bands = auto_lsh_bands(n_bits)
     first = items.select(F.size(feat_col).alias("n")).first()
     fdim = int(first["n"])
     rng = np.random.default_rng(seed)
@@ -310,7 +334,7 @@ def knn_edges(
     feat_col: str = "features",
     strategy: str = "auto",
     lsh_bits: int | None = None,
-    lsh_bands: int = 16,
+    lsh_bands: int | None = None,
     n_rows: int | None = None,
 ) -> DataFrame:
     """Build the symmetrized, weighted kNN edge list.
