@@ -172,6 +172,9 @@ def _knn_directed_broadcast_scan(
 LSH_DESIGN_COLLISION = 0.82
 #: −ln(target miss probability): 3.0 ⇒ ≥95% recall design target.
 LSH_MISS_BUDGET = 3.0
+#: Buckets above this row count are split into block-pair tasks
+#: (skew guard): task cost is bounded at (2·max)²·F flops ≈ 25 s.
+LSH_BUCKET_MAX = 8192
 
 
 def auto_lsh_bands(n_bits: int) -> int:
@@ -196,6 +199,7 @@ def _pairwise_candidates_lsh(
     n_bands: int | None = None,
     seed: int = 42,
     n_items: int | None = None,
+    bucket_max: int | None = None,
 ) -> DataFrame:
     """Bucketed candidate pairs within the cosine eps-ball via
     sign-random-projection band LSH.
@@ -319,8 +323,74 @@ def _pairwise_candidates_lsh(
             "dist": np.concatenate(out_v),
         })
 
-    bucket_pairs = hashed.groupBy("band", "key").applyInPandas(
+    # Skew guard: a degenerate corpus (mass-duplicate vectors — common
+    # in the dedup-adjacent corpora this engine targets) can land one
+    # giant bucket on ONE task; the chunked gemm bounds memory but not
+    # task time (O(bucket²)). Buckets above LSH_BUCKET_MAX are split
+    # into hash-assigned blocks and processed as block-PAIR tasks of
+    # ≤2·LSH_BUCKET_MAX rows each: every pair still meets in exactly
+    # the (min,max) block task, and the per-row k-cap stays lossless
+    # per task (a neighbor crowded out by k closer rows in its task is
+    # outside the global top-k a fortiori). The size census runs a
+    # DEDICATED key-only hash pass — same gemm, but no per-row uvec
+    # list materialization and no vector bytes in its (map-side
+    # combined) shuffle, so the census costs a fraction of the main
+    # pass; when no bucket is oversized the guard reduces to that
+    # census + a broadcast join against an empty key list.
+    b_max = int(bucket_max if bucket_max is not None else LSH_BUCKET_MAX)
+
+    count_schema = StructType([
+        StructField("band", IntegerType(), False),
+        StructField("key", LongType(), False),
+    ])
+
+    def hash_keys_only(batches):
+        R = b_planes.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[feat_col].to_numpy()).astype(np.float32)
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0.0] = 1.0
+            U = X / norms[:, None]
+            signs = (U @ R) >= 0.0
+            keys = signs.reshape(len(U), nb, bits).astype(np.int64) @ weights
+            yield pd.DataFrame({
+                "band": np.repeat(np.arange(nb, dtype=np.int32), len(U)),
+                "key": keys.T.ravel(),
+            })
+
+    sizes = (
+        items.select(feat_col).mapInPandas(hash_keys_only,
+                                           schema=count_schema)
+        .groupBy("band", "key").agg(F.count("*").alias("_cnt"))
+    )
+    oversized = sizes.filter(F.col("_cnt") > F.lit(b_max))
+    h2 = hashed.join(F.broadcast(oversized), ["band", "key"], "left")
+    normal = h2.filter(F.col("_cnt").isNull()).drop("_cnt")
+    bucket_pairs = normal.groupBy("band", "key").applyInPandas(
         bucket_knn, schema=pair_schema)
+    big = h2.filter(F.col("_cnt").isNotNull())
+    nblocks = F.ceil(F.col("_cnt") / F.lit(b_max)).cast("int")
+    myblock = F.pmod(F.xxhash64("id"), nblocks).cast("int")
+    big_pairs = (
+        big.withColumn("_b", myblock)
+        .withColumn(
+            "_bp",
+            F.explode(F.transform(
+                F.sequence(F.lit(0), nblocks - F.lit(1)),
+                lambda j: F.struct(
+                    F.least(F.col("_b"), j).alias("b1"),
+                    F.greatest(F.col("_b"), j).alias("b2"),
+                ),
+            )),
+        )
+        .select("band", "key", F.col("_bp.b1").alias("b1"),
+                F.col("_bp.b2").alias("b2"), "id", "uvec")
+        .groupBy("band", "key", "b1", "b2")
+        .applyInPandas(bucket_knn, schema=pair_schema)
+    )
+    bucket_pairs = bucket_pairs.unionAll(big_pairs)
     # Dedupe across bands; min() is a no-op on value (the distance is
     # the same pair function in every band) but makes the agg
     # map-side combinable.

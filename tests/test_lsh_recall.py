@@ -73,3 +73,41 @@ def test_auto_strategy_thresholds(spark):
     # below the ceiling auto == exact (broadcast scan); the constant
     # itself is the scale-path switch documented in knn_edges.
     assert KNN.EXACT_PATH_MAX_ROWS >= 10_000
+
+
+def test_skew_guard_blocked_buckets_identical_pairs(spark):
+    """A mass-duplicate cluster (the degenerate corpus that lands one
+    giant LSH bucket on one task) must produce the SAME candidate pair
+    set whether or not the bucket is split into block-pair tasks —
+    the guard changes the physical plan, never the result."""
+    import numpy as np
+    from pyarrowspace_spark.operators.knn import _pairwise_candidates_lsh
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=8)
+    rows = []
+    # 120 near-dup vectors (one bucket) + 30 scattered. Perturbation
+    # scale 0.05 keeps the cluster co-bucketed while spacing pair
+    # distances ~1e-3 — far above the ~1e-7 f32-gemm rounding noise, so
+    # per-row top-k tie-breaks are physical-plan independent. (At true
+    # duplicate scale the tied neighbors are interchangeable and the
+    # two plans may legitimately pick different-but-equivalent k-sets.)
+    for i in range(120):
+        rows.append((i, [float(v) for v in base + rng.normal(scale=0.05,
+                                                             size=8)]))
+    for i in range(120, 150):
+        rows.append((i, [float(v) for v in rng.normal(size=8)]))
+    df = spark.createDataFrame(rows, "item_id long, features array<double>")
+
+    kw = dict(eps=0.2, k=5, n_bits=6, n_bands=4)
+    unguarded = _pairwise_candidates_lsh(
+        df, "item_id", "features", bucket_max=10_000, **kw)
+    guarded = _pairwise_candidates_lsh(
+        df, "item_id", "features", bucket_max=32, **kw)
+    pu = {(r["src"], r["dst"]) for r in unguarded.collect()}
+    pg = {(r["src"], r["dst"]) for r in guarded.collect()}
+    # guard covers every pair the single-task bucket found (the blocked
+    # variant may find a few extra via its per-task k-caps - supersets
+    # are lossless for the downstream global top-k)
+    assert pu <= pg
+    assert len(pu) > 100
