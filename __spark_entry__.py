@@ -804,6 +804,27 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("item_id", *cols)
 
 
+def q_suggest_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-aware graph-parameter suggestions (reference
+    "Auto-computing optimal clustering parameters",
+    tests/output/1760705545_v0_16/suggested_eps.md:7-12): TwoNN
+    intrinsic dim → theory eps/sigma/s(n)/k via random-geometric-graph
+    connectivity formulas. The crate's final unpublished calibration
+    step is a documented spec gap — we report the theory values the
+    reference log itself prints."""
+    from pyarrowspace_spark.operators import dimred as DR
+
+    _ship_package(spark)
+    items = _items(spark, sf_dir).select("item_id", "features")
+    out = DR.suggest_graph_params(items, max_rows=100_000)
+    return out.select(
+        "n", F.round("id_mle", 6).alias("id_mle_r"), "d_used",
+        F.round("eps_theory", 6).alias("eps_theory_r"),
+        F.round("sigma_theory", 6).alias("sigma_theory_r"),
+        F.round("s_n", 6).alias("s_n_r"), "k_rec",
+    )
+
+
 def q_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paired t-test (SURVEY §2 M10) on per-query head-mean vs
     tail-mean cosine score — significance of head/tail separation
@@ -1219,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sparsity": q_graph_sparsity,
         "intrinsic_dim": q_intrinsic_dim,
         "random_projection": q_random_projection,
+        "suggest_params": q_suggest_params,
         "paired_ttest": q_paired_ttest,
         "topology_metrics": q_topology_metrics,
         "json_corpus_roundtrip": q_json_corpus_roundtrip,
@@ -2595,6 +2617,32 @@ SELECT n_used::BIGINT AS n_used, round(id, 6) AS id_mle_r,
          CAST(ceil(sqrt((SELECT n FROM n) * greatest(id, 1.0))) AS BIGINT),
          greatest(2, (SELECT n FROM n) // 2)))::BIGINT AS auto_k
 FROM est""",
+
+        "suggest_params": f"""
+WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+pair AS (SELECT a.id AS i, b.id AS j, list_distance(a.e, b.e) AS d
+         FROM emb a, emb b WHERE a.id <> b.id),
+rk AS (SELECT i, j, d,
+       row_number() OVER (PARTITION BY i ORDER BY d ASC, j ASC) AS rn
+       FROM pair),
+two AS (SELECT i, max(CASE WHEN rn = 1 THEN d END) AS d1,
+               max(CASE WHEN rn = 2 THEN d END) AS d2
+        FROM rk WHERE rn <= 2 GROUP BY i),
+mu AS (SELECT d2 / d1 AS mu FROM two WHERE d1 > 0),
+est AS (SELECT count(*) / sum(ln(mu)) AS id_mle FROM mu),
+n AS (SELECT count(*) AS n FROM emb),
+calc AS (
+  SELECT (SELECT n FROM n) AS n, id_mle,
+         greatest(1.0, round(id_mle, 0)) AS d,
+         ln((SELECT n FROM n)) AS l
+  FROM est)
+SELECT n::BIGINT AS n, round(id_mle, 6) AS id_mle_r,
+       CAST(d AS BIGINT) AS d_used,
+       round(pow(l / n, 2.0 / (d + 2.0)), 6) AS eps_theory_r,
+       round(pow(l / n, 1.0 / (d + 2.0)), 6) AS sigma_theory_r,
+       round(pow(n / l, 1.0 / d), 6) AS s_n_r,
+       CAST(round(2.0 * l, 0) AS BIGINT) AS k_rec
+FROM calc""",
 
         "random_projection": _sql_random_projection(),
 

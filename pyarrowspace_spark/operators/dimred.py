@@ -159,6 +159,47 @@ def two_nn_intrinsic_dim(
     )
 
 
+def suggest_graph_params(
+    items: DataFrame,
+    id_col: str = "item_id",
+    feat_col: str = "features",
+    max_rows: int = 4000,
+) -> DataFrame:
+    """Dimension-aware graph-parameter suggestions — the reference's
+    "Auto-computing optimal clustering parameters" surface (log
+    tests/output/1760705545_v0_16/suggested_eps.md:7-12 prints exactly
+    these quantities for N=313,841: ε≈0.0175, σ≈0.132, s≈29.2, k≈25).
+
+    Public theory (random-geometric-graph connectivity thresholds,
+    cited in the reference log itself):
+
+      L        = ln(n)
+      eps(n)   = (L/n)^(2/(d+2))     σ(n) = (L/n)^(1/(d+2))
+      s(n)     = (n/L)^(1/d)         k    = round(2·L)
+
+    with d = max(1, round(TwoNN id_mle)). The crate applies an extra
+    unpublished "calibration with practical scaling" on top of the
+    theory numbers (0.0175 → 1.31 in the log); we report the theory
+    values the log prints and leave the calibration as a documented
+    spec gap. One row:
+    [n, id_mle, d_used, eps_theory, sigma_theory, s_n, k_rec].
+    """
+    two = two_nn_intrinsic_dim(items, id_col, feat_col, max_rows=max_rows)
+    n_total = items.count()
+    n, ln_n = float(n_total), math.log(max(n_total, 2))
+    d_col = F.greatest(F.lit(1.0), F.round(F.col("id_mle"), 0))
+    ratio = F.lit(ln_n / n)
+    return two.select(
+        F.lit(n_total).cast("long").alias("n"),
+        "id_mle",
+        d_col.cast("long").alias("d_used"),
+        F.pow(ratio, F.lit(2.0) / (d_col + F.lit(2.0))).alias("eps_theory"),
+        F.pow(ratio, F.lit(1.0) / (d_col + F.lit(2.0))).alias("sigma_theory"),
+        F.pow(F.lit(n / ln_n), F.lit(1.0) / d_col).alias("s_n"),
+        F.round(F.lit(2.0 * ln_n), 0).cast("long").alias("k_rec"),
+    )
+
+
 def auto_k_estimate(n_items: int, id_mle: float) -> int:
     """Auto-K for centroid clustering (reference G8 'Auto-selecting K
     via search over range'; exact crate rule unpublished — pinned

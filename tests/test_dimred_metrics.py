@@ -161,3 +161,32 @@ def test_ivf_centroids_partitioning_invariant(spark):
     assert np.array_equal(c1, c2)
     # and the no-cap path
     assert np.array_equal(ivf_centroids(df1, 8), ivf_centroids(df2, 8))
+
+
+def test_suggest_graph_params_reference_log_values(spark):
+    """The dimension-aware formulas must reproduce the reference
+    build log's printed numbers (suggested_eps.md:7-12: N=313,841,
+    d=3 -> eps~0.0175, sigma~0.132, s~29.2, k~25), and d_used must
+    come from the data's TwoNN estimate."""
+    # formula arithmetic at the log's N and d
+    n, d = 313841, 3.0
+    ln_n = math.log(n)
+    assert (ln_n / n) ** (2 / (d + 2)) == pytest.approx(0.0175, abs=2e-4)
+    assert (ln_n / n) ** (1 / (d + 2)) == pytest.approx(0.132, abs=2e-3)
+    assert (n / ln_n) ** (1 / d) == pytest.approx(29.2, abs=0.1)
+    assert round(2 * ln_n) == 25
+
+    # end-to-end on a 3-manifold embedded in 8 dims
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(3, 8))
+    rows = [(int(i), [float(v) for v in rng.normal(size=3) @ base])
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "item_id long, features array<double>")
+    out = DR.suggest_graph_params(df).collect()[0]
+    assert out["n"] == 400
+    assert 2 <= out["d_used"] <= 4
+    ln400 = math.log(400)
+    assert out["k_rec"] == round(2 * ln400)
+    d_used = float(out["d_used"])
+    assert out["eps_theory"] == pytest.approx(
+        (ln400 / 400) ** (2 / (d_used + 2)), rel=1e-9)
