@@ -74,3 +74,36 @@ def test_windowed_rollup_matches_batch(spark):
     want = {(r["window"]["start"], r["event_type"]):
             (r["n"], round(r["s"], 6)) for r in batch.collect()}
     assert got == want
+
+
+def test_dedup_stream_matches_batch_keeplist(spark):
+    """Streaming exact-dedup must agree with the batch fingerprint
+    groups: one keep=True per fingerprint (the min doc id, since all
+    docs arrive in one availableNow batch), duplicates tagged False."""
+    from pyarrowspace_spark.operators.dedup import exact_duplicates
+    from pyarrowspace_spark.streaming.dedup_stream import dedup_stream
+
+    docs = loaders.load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text").limit(300)
+    src = tempfile.mkdtemp(prefix="pas_docs_src_")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    tagged = dedup_stream(stream)
+    q = (tagged.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: (r["fingerprint"], r["keep"])
+           for r in spark.table("dedup_stream").collect()}
+    batch_groups = exact_duplicates(spark.read.parquet(src)).collect()
+    keep_ids = {r["fingerprint"]: r["keep_id"] for r in batch_groups}
+    assert len(got) == 300
+    for doc_id, (fp, keep) in got.items():
+        assert keep == (keep_ids[fp] == doc_id)
+    assert sum(k for _, k in got.values()) == len(keep_ids)
+
+    # rejects batch input
+    import pytest as _pt
+    with _pt.raises(ValueError, match="streaming"):
+        dedup_stream(docs)
