@@ -265,6 +265,55 @@ class ArrowSpaceBuilder:
         )
 
     @staticmethod
+    def extend(
+        index: ArrowSpaceIndex,
+        new_items: DataFrame,
+        id_col: str = "item_id",
+        feat_col: str = "features",
+    ) -> ArrowSpaceIndex:
+        """Batch incremental index maintenance: λ-index `new_items`
+        against the FROZEN base artifacts (broadcast L_F + the build's
+        τ_synth) and append them to the items table — the batch twin of
+        streaming/index_stream.incremental_lambda_stream, with the same
+        contract: graph/L_F/τ stay frozen (a narrow, shuffle-free pass,
+        so extend cost is O(new items) regardless of index size), and a
+        periodic full rebuild re-absorbs drift — the standard
+        insert-then-rebuild index maintenance split.
+
+        New vectors must match the index's nfeatures; normalise is
+        applied if the base index was built with it.
+        """
+        first = new_items.select(F.size(feat_col).alias("n")).first()
+        if first is None:
+            return index
+        if int(first["n"]) != index.n_features:
+            raise ValueError(
+                f"new items have {first['n']} features, index has "
+                f"{index.n_features}")
+        add = new_items.select(
+            F.col(id_col).alias("item_id"), F.col(feat_col).alias("features"))
+        if index.params.normalise:
+            from .functions import vector as V
+
+            add = add.withColumn("features", V.l2_normalize("features"))
+        comp = lam_ops.with_energy_components(add, index.feature_laplacian)
+        indexed = comp.select(
+            "*",
+            F.col("_ec.e_raw").alias("e_raw"),
+            F.col("_ec.g").alias("g"),
+        ).withColumn(
+            "lambda", lam_ops.blend_lambda("_ec", index.tau_synth)
+        ).drop("_ec")
+        return ArrowSpaceIndex(
+            items=index.items.unionByName(indexed),
+            edges=index.edges,
+            feature_laplacian=index.feature_laplacian,
+            params=index.params,
+            tau_synth=index.tau_synth,
+            n_features=index.n_features,
+        )
+
+    @staticmethod
     def build_energy(
         items: DataFrame,
         energy_params: dict | EnergyParams | None = None,

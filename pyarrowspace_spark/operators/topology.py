@@ -144,9 +144,11 @@ def modularity(edges: DataFrame, communities: DataFrame,
 
 
 def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
-    """Synchronous weighted label propagation (deterministic stand-in
-    for the reference's greedy modularity communities, G17 — algorithm
-    difference documented per SURVEY §2.7).
+    """Synchronous weighted label propagation — the DISTRIBUTED
+    community path (G17). The reference's exact algorithm family is
+    `greedy_modularity_communities` below (driver-side CNM, round 4);
+    LPA remains the 100 TB default because CNM is inherently
+    sequential. `communities()` dispatches between them.
 
     Init: community = node id. Step: each node adopts the community
     with the largest incident weight sum; ties break to the SMALLEST

@@ -103,3 +103,37 @@ def test_index_save_load_roundtrip(spark, tmp_path):
     r2 = search(idx2.items, idx2.feature_laplacian, q, tau=0.62, k=5).collect()
     assert [(r["item_id"], round(r["score"], 9)) for r in sorted(r1, key=lambda r: r["rank"])] == \
            [(r["item_id"], round(r["score"], 9)) for r in sorted(r2, key=lambda r: r["rank"])]
+
+
+def test_extend_index_matches_full_build_lambda(spark, test0_items_df):
+    """Extending an index with held-out items gives them the SAME
+    lambda a from-scratch build over the full set would NOT (the graph
+    is frozen) — but exactly the lambda the frozen-Laplacian contract
+    promises: identical to items indexed by the original build when the
+    vectors already belonged to the build corpus."""
+    from pyarrowspace_spark.builder import ArrowSpaceBuilder
+
+    params = {"eps": 0.05, "k": 5, "topk": 3, "p": 2.0, "sigma": 0.05}
+    base = ArrowSpaceBuilder.build(test0_items_df, params, strategy="exact")
+    # re-add the SAME vectors under new ids: frozen-artifact lambda
+    # must equal the build-time lambda of the originals
+    readd = test0_items_df.select(
+        (F.col("item_id") + 100).alias("item_id"), "features")
+    ext = ArrowSpaceBuilder.extend(base, readd)
+    assert ext.nitems == 10
+    lams = {r["item_id"]: r["lambda"] for r in ext.lambdas().collect()}
+    for i in range(5):
+        assert lams[i + 100] == pytest.approx(lams[i], rel=1e-12)
+    # search over the extended index sees the clones at identical score
+    import numpy as np
+    from pyarrowspace_spark.operators.search import search
+
+    q = np.array(test0_items_df.filter("item_id = 2").first()["features"])
+    hits = search(ext.items, ext.feature_laplacian, q * 1.05, tau=0.9, k=4)
+    got = [r["item_id"] for r in hits.orderBy("rank").collect()]
+    assert set(got) >= {1, 101}  # clone pairs rank together
+    # feature-count guard
+    bad = spark.createDataFrame([(999, [1.0, 2.0])],
+                                "item_id long, features array<double>")
+    with pytest.raises(ValueError, match="features"):
+        ArrowSpaceBuilder.extend(base, bad)
