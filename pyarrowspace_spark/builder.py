@@ -91,10 +91,30 @@ class ArrowSpaceIndex:
         src/lib.rs:49-61)."""
         return self.params.to_dict()
 
-    def save(self, path: str) -> None:
-        """Persist index tables + config as Parquet."""
-        self.items.write.mode("overwrite").parquet(f"{path}/items")
-        self.edges.write.mode("overwrite").parquet(f"{path}/edges")
+    def save(self, path: str, table_prefix: str | None = None,
+             n_buckets: int = 32) -> None:
+        """Persist index tables + config as Parquet.
+
+        With `table_prefix`, items/edges are written as BUCKETED,
+        sorted catalog tables (`{prefix}_items` bucketed by item_id,
+        `{prefix}_edges` by src): any later self-join / id-join against
+        the saved index — search joins, edge gathers, incremental
+        extends — reads co-located buckets and skips the shuffle
+        exchange entirely (verified by a plan test). Size `n_buckets`
+        to ~executor-count at the target scale. Plain path-based
+        parquet (no catalog dependency) remains the default."""
+        if table_prefix:
+            (self.items.write.mode("overwrite").format("parquet")
+             .bucketBy(int(n_buckets), "item_id").sortBy("item_id")
+             .option("path", f"{path}/items")
+             .saveAsTable(f"{table_prefix}_items"))
+            (self.edges.write.mode("overwrite").format("parquet")
+             .bucketBy(int(n_buckets), "src").sortBy("src")
+             .option("path", f"{path}/edges")
+             .saveAsTable(f"{table_prefix}_edges"))
+        else:
+            self.items.write.mode("overwrite").parquet(f"{path}/items")
+            self.edges.write.mode("overwrite").parquet(f"{path}/edges")
         spark = self.items.sparkSession
         lf_rows = [
             (int(i), [float(v) for v in row])

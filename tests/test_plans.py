@@ -96,3 +96,33 @@ def test_repetition_signals_no_cartesian(spark):
     plan = _plan(em.q_repetition_signals(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_index_save_joins_without_exchange(spark, tmp_path):
+    """save(table_prefix=...) writes bucketed+sorted tables: a
+    self-join of the saved items on item_id must read co-located
+    buckets — no shuffle Exchange on either side."""
+    from pyarrowspace_spark.builder import ArrowSpaceBuilder
+    from pyarrowspace_spark.sources import loaders
+
+    items = loaders.items_from_embeddings(spark, SF_DIR).select(
+        "item_id", "features").limit(200)
+    idx = ArrowSpaceBuilder.build(
+        items, {"eps": 0.95, "k": 5, "topk": 3, "p": 2.0}, strategy="exact")
+    spark.sql("DROP TABLE IF EXISTS t4_items")
+    spark.sql("DROP TABLE IF EXISTS t4_edges")
+    idx.save(str(tmp_path / "idx"), table_prefix="t4", n_buckets=4)
+
+    a = spark.table("t4_items").select("item_id", "lambda")
+    b = spark.table("t4_items").select("item_id", "e_raw")
+    joined = a.join(b, "item_id")
+    # disable broadcast so the test exercises the sort-merge path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == 200
