@@ -111,3 +111,16 @@ def test_skew_guard_blocked_buckets_identical_pairs(spark):
     # are lossless for the downstream global top-k)
     assert pu <= pg
     assert len(pu) > 100
+
+
+def test_auto_lsh_bands_values():
+    """Pin the recall-targeted band schedule: unchanged at the bench
+    scale (16 @ bits<=8), grows with corpus size (21 @ bits=10 — the
+    313k anchor configuration that measured 0.9623 recall), monotone."""
+    from pyarrowspace_spark.operators.knn import auto_lsh_bands
+
+    assert auto_lsh_bands(6) == 16
+    assert auto_lsh_bands(8) == 16
+    assert auto_lsh_bands(10) == 21
+    vals = [auto_lsh_bands(b) for b in range(6, 21)]
+    assert vals == sorted(vals)
