@@ -476,15 +476,17 @@ def _ann_planes():
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH approximate cosine top-k (similarity-search scale
-    path): bucket-join candidates, exact rescore — oracle replays the
-    same hyperplanes as SQL literals."""
+    path): bucket-join candidates with Hamming-1 multi-probe on the
+    query side, exact rescore — oracle replays the same hyperplanes
+    AND the same XOR probe enumeration as SQL literals."""
     from pyarrowspace_spark.operators.simsearch import ann_cosine_topk
 
     items = _items(spark, sf_dir).select("item_id", "features")
     queries_df = items.filter(F.col("item_id") < N_QUERIES).select(
         F.col("item_id").alias("query_id"), "features"
     )
-    out = ann_cosine_topk(items, queries_df, ANN_K, _ann_planes())
+    out = ann_cosine_topk(items, queries_df, ANN_K, _ann_planes(),
+                          probe_hamming1=True)
     return out.select(
         "query_id", "item_id", F.col("rank").cast("long").alias("rank"),
         F.round("score", 4).alias("score_r"),
@@ -2334,11 +2336,20 @@ FROM ranked WHERE rank <= {TOPK}""",
         "ann_lsh_topk": f"""
 WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
 it AS ({_sql_ann_buckets('emb', 'e')}),
-qu AS (SELECT * FROM it WHERE id < {N_QUERIES}),
+qu0 AS (SELECT * FROM it WHERE id < {N_QUERIES}),
+qu AS (
+  {' UNION ALL '.join(
+      f"SELECT id, unnest(["
+      + ", ".join([f"bucket_{t}"]
+                  + [f"xor(bucket_{t}, {1 << j})"
+                     for j in range(ANN_N_PLANES)])
+      + f"]) AS probe, {t} AS tbl FROM qu0"
+      for t in range(ANN_N_TABLES))}
+),
 cand AS (
   {' UNION ALL '.join(
-      f"SELECT qu.id AS query_id, qu.e AS qe, it.id AS item_id, it.e AS ie "
-      f"FROM qu JOIN it ON qu.bucket_{t} = it.bucket_{t}"
+      f"SELECT qu.id AS query_id, it.id AS item_id "
+      f"FROM qu JOIN it ON qu.tbl = {t} AND qu.probe = it.bucket_{t}"
       for t in range(ANN_N_TABLES))}
 ),
 dedup AS (SELECT DISTINCT query_id, item_id FROM cand),

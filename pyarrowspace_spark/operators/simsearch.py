@@ -107,14 +107,26 @@ def ann_cosine_topk(
     id_col: str = "item_id",
     feat_col: str = "features",
     query_id_col: str = "query_id",
+    probe_hamming1: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k: bucket-join candidates, exact rescore.
 
     Returns DataFrame[query_id, item_id, score, rank] with rank over
     the candidate set only (recall < 1 by design; brute force is the
     oracle for recall measurement).
+
+    ``probe_hamming1`` enables multi-probe on the QUERY side (Lv et al.
+    2007, public method, simplified to the full Hamming-1 neighborhood):
+    each query additionally probes every bucket one sign-flip away, a
+    (1+n_planes)× fan-out of the tiny broadcast query side only — the
+    corpus is still hashed once and never re-scanned. Recall rises
+    steeply (a near-miss neighbor differs in exactly one marginal bit
+    far more often than in two) for candidate-set growth ≪ adding
+    tables, and the probe list is a deterministic XOR enumeration the
+    SQL oracle replays bit-for-bit.
     """
     n_tables = planes.shape[0]
+    n_planes = planes.shape[1]
     # (table, bucket) pairs via ONE corpus pass + posexplode; the query
     # side is tiny → broadcast, so the whole candidate generation is a
     # single broadcast hash join with zero corpus shuffle (the per-table
@@ -135,6 +147,15 @@ def ann_cosine_topk(
         F.posexplode(F.array(*[f"bucket_{t}" for t in range(n_tables)]))
         .alias("t", "bucket"),
     )
+    if probe_hamming1:
+        qu = qu.select(
+            query_id_col, "q_features", "t",
+            F.explode(F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                  for j in range(n_planes)],
+            )).alias("bucket"),
+        )
     cands = (
         it.join(F.broadcast(qu), ["t", "bucket"])
         .select(query_id_col, "q_features", id_col, feat_col)

@@ -124,3 +124,35 @@ def test_auto_lsh_bands_values():
     assert auto_lsh_bands(10) == 21
     vals = [auto_lsh_bands(b) for b in range(6, 21)]
     assert vals == sorted(vals)
+
+
+def test_multiprobe_ann_recall_improvement(spark):
+    """Hamming-1 multi-probe must strictly improve ANN recall@10 vs
+    single-probe on the hard near-orthogonal testdata embeddings, at a
+    candidate-set growth far below the (1+n_planes) probe fan-out."""
+    from pyarrowspace_spark.operators.search import brute_force_cosine_topk
+    from pyarrowspace_spark.operators.simsearch import (ann_cosine_topk,
+                                                        lsh_hyperplanes)
+
+    items = loaders.items_from_embeddings(spark, SF_DIR).select(
+        "item_id", "features")
+    queries = items.filter("item_id < 10").select(
+        F.col("item_id").alias("query_id"), "features")
+    planes = lsh_hyperplanes(64, n_tables=4, n_planes=8)
+    truth = {(r["query_id"], r["item_id"])
+             for r in brute_force_cosine_topk(items, queries, 10).collect()}
+
+    def recall(probe):
+        got = {(r["query_id"], r["item_id"])
+               for r in ann_cosine_topk(items, queries, 10, planes,
+                                        probe_hamming1=probe).collect()}
+        return len(got & truth) / len(truth)
+
+    r0, r1 = recall(False), recall(True)
+    # the testdata embeddings are the worst case for sign-LSH (kNN at
+    # cos~0.23-0.43, see module docstring): single-probe lands ~0.2-0.3
+    # here; Hamming-1 probing must lift it substantially (measured 0.44,
+    # +~0.15 absolute). Clustered corpora (the realistic regime) sit
+    # far higher for both.
+    assert r1 >= r0 + 0.08
+    assert r1 >= 0.38, f"multi-probe recall@10 {r1:.2f} (r0={r0:.2f})"
