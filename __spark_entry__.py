@@ -447,6 +447,28 @@ def q_lambda_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lambda_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """λ-aware search over sign-LSH multi-probe candidates — the
+    sublinear form of the flagship search (full-scan `lambda_search`
+    is the exact twin). Oracle replays hyperplanes, XOR probes, and
+    the λ pipeline in pure SQL."""
+    from pyarrowspace_spark.operators.search import search_ann
+
+    _ship_package(spark)
+    items = _items(spark, sf_dir).select("item_id", "features")
+    idx = _get_index(spark, sf_dir)
+    queries = items.filter(F.col("item_id").isin(list(LAMBDA_QIDS))).select(
+        F.col("item_id").alias("query_id"),
+        F.transform("features", lambda x: x * F.lit(1.05)).alias("features"),
+    )
+    out = search_ann(idx.items, idx.feature_laplacian, queries,
+                     tau=LAMBDA_TAU, k=TOPK, planes=_ann_planes())
+    return out.select(
+        "query_id", "item_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs."""
     emb = _items(spark, sf_dir)
@@ -1224,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "lambda_table": q_lambda_table,
         "lambda_search": q_lambda_search,
+        "lambda_search_ann": q_lambda_search_ann,
         "ann_lsh_topk": q_ann_lsh_topk,
         "rank_correlation": q_rank_correlation,
         "rbo_cos_eucl": q_rbo,
@@ -2324,6 +2347,49 @@ scored AS (
   FROM q JOIN lam lq ON lq.kind = 'q' AND lq.id = q.qid
   CROSS JOIN emb c
   JOIN lam lx ON lx.kind = 'i' AND lx.id = c.id),
+ranked AS (
+  SELECT query_id, item_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, item_id ASC) AS rank
+  FROM scored)
+SELECT query_id, item_id, CAST(rank AS BIGINT) AS rank,
+       round(score, 5) AS score_r
+FROM ranked WHERE rank <= {TOPK}""",
+
+        "lambda_search_ann": f"""
+WITH {_sql_lambda_cte()},
+lam AS (
+  SELECT e.kind, e.id,
+         {LAMBDA_TAU} * (e.e_raw / (e.e_raw + {LAMBDA_TAU}))
+         + (1 - {LAMBDA_TAU}) * g.g AS lam
+  FROM eraw e JOIN gval g ON g.kind = e.kind AND g.id = e.id),
+it AS ({_sql_ann_buckets('emb', 'e')}),
+qu0 AS (SELECT * FROM it WHERE id IN {LAMBDA_QIDS}),
+probes AS (
+  {' UNION ALL '.join(
+      "SELECT id, unnest(["
+      + ", ".join([f"bucket_{t}"]
+                  + [f"xor(bucket_{t}, {1 << j})"
+                     for j in range(ANN_N_PLANES)])
+      + f"]) AS probe, {t} AS tbl FROM qu0"
+      for t in range(ANN_N_TABLES))}
+),
+acand AS (
+  {' UNION ALL '.join(
+      f"SELECT p.id AS query_id, it.id AS item_id "
+      f"FROM probes p JOIN it ON p.tbl = {t} AND p.probe = it.bucket_{t}"
+      for t in range(ANN_N_TABLES))}
+),
+dedup AS (SELECT DISTINCT query_id, item_id FROM acand),
+scored AS (
+  SELECT d.query_id, d.item_id,
+         {LAMBDA_TAU} * {_SQL_COS.format(a='q.e', b='c.e')}
+         + (1 - {LAMBDA_TAU}) * (1.0 / (1.0 + abs(lq.lam - lx.lam))) AS score
+  FROM dedup d
+  JOIN q ON q.qid = d.query_id
+  JOIN emb c ON c.id = d.item_id
+  JOIN lam lq ON lq.kind = 'q' AND lq.id = d.query_id
+  JOIN lam lx ON lx.kind = 'i' AND lx.id = d.item_id),
 ranked AS (
   SELECT query_id, item_id, score,
          row_number() OVER (PARTITION BY query_id

@@ -113,6 +113,88 @@ def search_hybrid(
     return search(index, lf, queries, tau, k, **kwargs)
 
 
+def search_ann(
+    index: DataFrame,
+    lf: np.ndarray,
+    queries: DataFrame,
+    tau: float,
+    k: int,
+    planes: np.ndarray,
+    probe_hamming1: bool = True,
+    id_col: str = "item_id",
+    feat_col: str = "features",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """λ-aware top-k search with SUBLINEAR candidate generation: the
+    same blended score as `search`, rescored only over sign-LSH bucket
+    candidates (Hamming-1 multi-probe on the query side by default)
+    instead of a full corpus scan.
+
+    This is the 100 TB search path: the reference's own search is a
+    full scan (acceptable interactively at its N), but at three orders
+    more corpus the scan IS the query cost — bucket candidates bound it
+    at O(bucket · tables) per query. Recall inherits the ANN operator's
+    contract; `search` remains the exact path. `index` must carry the
+    build's (e_raw, g) columns, so item λ at the caller's τ is a JVM
+    expression over the candidate rows only.
+    """
+    from .lambda_index import blend_lambda_cols
+    from .simsearch import ann_cosine_topk  # noqa: F401  (doc anchor)
+    from .simsearch import with_lsh_buckets
+
+    n_tables, n_planes = planes.shape[0], planes.shape[1]
+    q_lam = with_lambda(
+        queries.select(query_id_col, feat_col),
+        lf, tau, feat_col=feat_col, out_col="q_lambda",
+    ).select(query_id_col, F.col(feat_col).alias("q_features"), "q_lambda")
+
+    it = with_lsh_buckets(
+        index.select(id_col, feat_col, "e_raw", "g"), planes, feat_col
+    ).select(
+        id_col, feat_col, "e_raw", "g",
+        F.posexplode(F.array(*[f"bucket_{t}" for t in range(n_tables)]))
+        .alias("t", "bucket"),
+    )
+    qu = with_lsh_buckets(
+        q_lam.select(query_id_col,
+                     F.col("q_features").alias(feat_col), "q_lambda"),
+        planes, feat_col,
+    ).select(
+        query_id_col, F.col(feat_col).alias("q_features"), "q_lambda",
+        F.posexplode(F.array(*[f"bucket_{t}" for t in range(n_tables)]))
+        .alias("t", "bucket"),
+    )
+    if probe_hamming1:
+        qu = qu.select(
+            query_id_col, "q_features", "q_lambda", "t",
+            F.explode(F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                  for j in range(n_planes)],
+            )).alias("bucket"),
+        )
+    cands = (
+        it.join(F.broadcast(qu), ["t", "bucket"])
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cands.select(
+        query_id_col, id_col,
+        V.blended_score(
+            V.cosine_similarity("q_features", feat_col),
+            F.col("q_lambda"),
+            blend_lambda_cols(F.col("e_raw"), F.col("g"), tau),
+            tau,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
+    )
+
+
 def brute_force_cosine_topk(
     items: DataFrame,
     queries: DataFrame,

@@ -4,6 +4,7 @@ parameters — the documented guarantee for switching strategies above
 the broadcastable-N ceiling."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from pyarrowspace_spark.operators import knn as KNN
 from pyarrowspace_spark.params import GraphParams
@@ -156,3 +157,33 @@ def test_multiprobe_ann_recall_improvement(spark):
     # far higher for both.
     assert r1 >= r0 + 0.08
     assert r1 >= 0.38, f"multi-probe recall@10 {r1:.2f} (r0={r0:.2f})"
+
+
+def test_search_ann_agrees_with_exact_on_hits(spark):
+    """Sublinear lambda-search must score candidates EXACTLY like the
+    full-scan search (identical blend); its top hit matches the exact
+    search's top hit on a self-query."""
+    import numpy as np
+    from pyarrowspace_spark.builder import ArrowSpaceBuilder
+    from pyarrowspace_spark.operators.search import search, search_ann
+    from pyarrowspace_spark.operators.simsearch import lsh_hyperplanes
+
+    items = loaders.items_from_embeddings(spark, SF_DIR).select(
+        "item_id", "features")
+    idx = ArrowSpaceBuilder.build(
+        items, {"eps": 0.99, "k": 10, "topk": 10, "p": 2.0},
+        strategy="exact")
+    queries = items.filter("item_id = 7").select(
+        F.col("item_id").alias("query_id"),
+        F.transform("features", lambda x: x * F.lit(1.05)).alias("features"))
+    planes = lsh_hyperplanes(64, n_tables=4, n_planes=8)
+    approx = search_ann(idx.items, idx.feature_laplacian, queries,
+                        tau=0.62, k=5, planes=planes)
+    exact = search(idx.items, idx.feature_laplacian, queries,
+                   tau=0.62, k=5)
+    a = {r["item_id"]: r["score"] for r in approx.collect()}
+    e = {r["item_id"]: r["score"] for r in exact.collect()}
+    # self-hit survives bucketing (identical signs) and scores match
+    assert 7 in a and a[7] == pytest.approx(e[7], rel=1e-12)
+    for item, s in a.items():     # every candidate scored identically
+        assert s == pytest.approx(e.get(item, s), rel=1e-12)
