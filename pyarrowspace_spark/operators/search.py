@@ -148,9 +148,18 @@ def search_ann(
         lf, tau, feat_col=feat_col, out_col="q_lambda",
     ).select(query_id_col, F.col(feat_col).alias("q_features"), "q_lambda")
 
-    it = with_lsh_buckets(
-        index.select(id_col, feat_col, "e_raw", "g"), planes, feat_col
-    ).select(
+    # Hash-once contract: if the caller pre-bucketed the corpus (one
+    # `with_lsh_buckets` pass persisted at index time), reuse it — a
+    # search call then touches only the bucket join + candidate
+    # rescore, NOT a corpus-wide pass. Per-call hashing remains the
+    # fallback for ad-hoc frames.
+    if "bucket_0" in index.columns:
+        hashed = index.select(id_col, feat_col, "e_raw", "g",
+                              *[f"bucket_{t}" for t in range(n_tables)])
+    else:
+        hashed = with_lsh_buckets(
+            index.select(id_col, feat_col, "e_raw", "g"), planes, feat_col)
+    it = hashed.select(
         id_col, feat_col, "e_raw", "g",
         F.posexplode(F.array(*[f"bucket_{t}" for t in range(n_tables)]))
         .alias("t", "bucket"),
