@@ -2179,19 +2179,27 @@ base AS (
   FROM toks
 ),
 uni AS (
-  SELECT doc_id, max(cnt * length(g)) AS top_uni_chars FROM (
-    SELECT doc_id, g, count(*) AS cnt FROM (
-      SELECT doc_id, unnest(tk) AS g FROM toks) GROUP BY 1, 2)
-  GROUP BY 1
+  -- Gopher definition: char mass of the MOST FREQUENT word
+  -- (count desc, ties -> lexicographically smallest gram)
+  SELECT doc_id, cnt * length(g) AS top_uni_chars FROM (
+    SELECT doc_id, g, cnt,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, g ASC) AS rn FROM (
+      SELECT doc_id, g, count(*) AS cnt FROM (
+        SELECT doc_id, unnest(tk) AS g FROM toks) GROUP BY 1, 2))
+  WHERE rn = 1
 ),
 bi AS (
-  SELECT doc_id, max(cnt * (length(g) - 1)) AS top_bi_chars FROM (
-    SELECT doc_id, g, count(*) AS cnt FROM (
-      SELECT doc_id,
-             unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
-                                   i -> tk[i] || ' ' || tk[i + 1])) AS g
-      FROM toks) GROUP BY 1, 2)
-  GROUP BY 1
+  SELECT doc_id, cnt * (length(g) - 1) AS top_bi_chars FROM (
+    SELECT doc_id, g, cnt,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, g ASC) AS rn FROM (
+      SELECT doc_id, g, count(*) AS cnt FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                                     i -> tk[i] || ' ' || tk[i + 1])) AS g
+        FROM toks) GROUP BY 1, 2))
+  WHERE rn = 1
 )
 SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
        round(CASE WHEN b.n_tokens > 0

@@ -137,11 +137,16 @@ class ArrowSpaceIndex:
         )
         lf = np.array([r["row"] for r in lf_rows], dtype=np.float64)
         meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
+        # normalise/seed are load-bearing for extend(): a normalise=True
+        # index reopened without them would append un-normalized vectors
+        # whose e_raw/λ are inconsistent with the stored items.
         params = GraphParams(
             eps=float(meta["eps"]), k=int(meta["k"]), topk=int(meta["topk"]),
             p=float(meta["p"]),
             sigma=(float(meta["sigma"]) if meta.get("sigma") is not None
                    else None),
+            normalise=bool(meta.get("normalise") or False),
+            seed=int(meta.get("seed") if meta.get("seed") is not None else 42),
         )
         return cls(
             items=spark.read.parquet(f"{path}/items"),

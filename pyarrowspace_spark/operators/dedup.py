@@ -295,12 +295,19 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float,
     return emb.select(id_col, vec_col).mapInPandas(scan, schema=schema)
 
 
-def connected_components(pairs: DataFrame, iters: int = 8,
+def connected_components(pairs: DataFrame, iters: int | None = 8,
                          id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
     """Duplicate-GROUP assembly: connected components over the
     near-dup pair graph by iterated min-label propagation
     (component id = min doc id reachable; `iters` bounds the hop
-    radius — 8 covers diameters far beyond real dup-cluster sizes).
+    radius — 8 covers diameters far beyond real dup-cluster sizes;
+    `iters=None` runs until convergence, whatever the diameter).
+
+    Every iteration checks convergence on the already-checkpointed
+    frame (labels only DECREASE under min-propagation, so "no label
+    shrank" == fixed point) and stops early — the common case on dup
+    graphs is 2-3 real iterations, so the bound is a backstop, not
+    the expected cost.
 
     Returns DataFrame[node, component]. Each iteration is one
     join + min-aggregate — the standard scalable CC formulation
@@ -311,7 +318,9 @@ def connected_components(pairs: DataFrame, iters: int = 8,
                                      F.col("src").alias("dst"))).persist()
     lab = both.select("src").unionAll(both.select("dst")).distinct().select(
         F.col("src").alias("node"), F.col("src").alias("component"))
-    for _ in range(int(iters)):
+    i = 0
+    while iters is None or i < int(iters):
+        i += 1
         prop = (
             both.join(lab, both["src"] == lab["node"])
             .select(F.col("dst").alias("node"), "component")
@@ -320,7 +329,16 @@ def connected_components(pairs: DataFrame, iters: int = 8,
         )
         # eager checkpoint: truncates lineage NOW, so iteration i+1
         # plans against a materialized RDD instead of a 2^i-deep plan.
-        lab = prop.localCheckpoint(eager=True)
+        new_lab = prop.localCheckpoint(eager=True)
+        converged = (
+            new_lab.join(
+                lab.withColumnRenamed("component", "_old"), "node")
+            .filter(F.col("component") < F.col("_old"))
+            .isEmpty()
+        )
+        lab = new_lab
+        if converged:
+            break
     return lab
 
 
@@ -328,7 +346,7 @@ GLOBAL_SHARD_MAX_ROWS = 1_000_000
 
 
 def dedup_keeplist(docs: DataFrame, n: int = 3, threshold: float = 0.2,
-                   cc_iters: int = 8, id_col: str = "doc_id",
+                   cc_iters: int | None = 8, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """End-to-end dedup survivor list — the operator a training export
     actually consumes: exact dups AND near-dup components collapse to

@@ -33,16 +33,18 @@ def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
     """Per-doc repetition metrics over the whitespace token stream:
 
     - ``distinct_ratio``   = distinct tokens / tokens (type-token ratio)
-    - ``top_unigram_frac`` = max over tokens of count·len(token) /
-      Σ len(token) — fraction of word characters inside the most
-      repeated word (Gopher's "fraction of characters in the most
-      common word").
+    - ``top_unigram_frac`` = count(w*)·len(w*) / Σ len(token) where w*
+      is the MOST FREQUENT word (ties → lexicographically smallest) —
+      Gopher's "fraction of characters in the most common word", Rae
+      et al. 2021 §A1.1. (Ranking by count, not by count·len: a long
+      rarer token must not out-score the most frequent word.)
     - ``top_bigram_frac``  = same for word 2-grams (spaces excluded
       from the character counts).
 
     Plan: one explode per n-gram order → partial-aggregated groupBy →
-    per-doc max. Shuffle rows are (doc, gram) counts — never the raw
-    text twice.
+    per-doc top-1 by (count desc, gram asc) via max_by over a
+    lexically ordered struct. Shuffle rows are (doc, gram) counts —
+    never the raw text twice.
     """
     toks = docs.select(id_col, T.tokens(text_col).alias("tk"))
     base = toks.select(
@@ -52,22 +54,34 @@ def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
         F.aggregate("tk", F.lit(0),
                     lambda acc, t: acc + F.length(t)).alias("n_word_chars"),
     )
-    uni = (
+
+    def _top_gram_chars(counted: DataFrame, space_chars: int):
+        """Char mass of the top gram by (count desc, gram asc): one
+        row_number window over per-doc gram counts (already aggregated
+        — the window input is |vocab| rows, not |tokens|)."""
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("count").desc(), F.col("g").asc())
+        return (
+            counted.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                id_col,
+                (F.col("count") * (F.length("g") - F.lit(space_chars))
+                 ).alias("_chars"),
+            )
+        )
+
+    uni = _top_gram_chars(
         toks.select(id_col, F.explode("tk").alias("g"))
-        .groupBy(id_col, "g").count()
-        .groupBy(id_col)
-        .agg(F.max(F.col("count") * F.length("g")).alias("top_uni_chars"))
-    )
-    bi = (
+        .groupBy(id_col, "g").count(), 0,
+    ).withColumnRenamed("_chars", "top_uni_chars")
+    bi = _top_gram_chars(
         toks.select(id_col, F.explode(
             F.zip_with(F.slice("tk", 1, F.greatest(F.size("tk") - 1, F.lit(0))),
                        F.slice("tk", 2, F.greatest(F.size("tk") - 1, F.lit(0))),
                        lambda a, b: F.concat_ws(" ", a, b))).alias("g"))
-        .groupBy(id_col, "g").count()
-        .groupBy(id_col)
-        .agg(F.max(F.col("count")
-                   * (F.length("g") - F.lit(1))).alias("top_bi_chars"))
-    )
+        .groupBy(id_col, "g").count(), 1,
+    ).withColumnRenamed("_chars", "top_bi_chars")
     return (
         base.join(uni, id_col, "left").join(bi, id_col, "left")
         .select(

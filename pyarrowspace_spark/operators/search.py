@@ -139,8 +139,7 @@ def search_ann(
     expression over the candidate rows only.
     """
     from .lambda_index import blend_lambda_cols
-    from .simsearch import ann_cosine_topk  # noqa: F401  (doc anchor)
-    from .simsearch import with_lsh_buckets
+    from .simsearch import planes_fingerprint, with_lsh_buckets
 
     n_tables, n_planes = planes.shape[0], planes.shape[1]
     q_lam = with_lambda(
@@ -152,8 +151,28 @@ def search_ann(
     # `with_lsh_buckets` pass persisted at index time), reuse it — a
     # search call then touches only the bucket join + candidate
     # rescore, NOT a corpus-wide pass. Per-call hashing remains the
-    # fallback for ad-hoc frames.
+    # fallback for ad-hoc frames. Reuse is VALIDATED: the frame must
+    # carry exactly n_tables bucket columns, and when the bucketing
+    # pass stamped a planes fingerprint (schema metadata — free to
+    # read, survives parquet), it must match the caller's planes: a
+    # bucket join under mismatched planes silently returns near-empty
+    # wrong candidates instead of erroring.
     if "bucket_0" in index.columns:
+        have = sorted(c for c in index.columns if c.startswith("bucket_"))
+        want = sorted(f"bucket_{t}" for t in range(n_tables))
+        if have != want:
+            raise ValueError(
+                f"index carries pre-hashed columns {have} but planes "
+                f"define {len(want)} tables ({want}); re-bucket the "
+                f"index with these planes or drop the bucket_* columns")
+        meta = index.schema["bucket_0"].metadata or {}
+        stamped = meta.get("planes_fp")
+        if stamped is not None and int(stamped) != planes_fingerprint(planes):
+            raise ValueError(
+                "index bucket_* columns were hashed with a DIFFERENT "
+                "hyperplane set than the one passed to search_ann "
+                "(planes fingerprint mismatch); re-bucket the index "
+                "with these planes or pass the original planes")
         hashed = index.select(id_col, feat_col, "e_raw", "g",
                               *[f"bucket_{t}" for t in range(n_tables)])
     else:

@@ -33,6 +33,22 @@ def lsh_hyperplanes(dim: int, n_tables: int = DEFAULT_N_TABLES,
     return rng.standard_normal((n_tables, n_planes, dim))
 
 
+def planes_fingerprint(planes: np.ndarray) -> int:
+    """Stable 62-bit identity of a hyperplane set (shape + values).
+
+    Used to stamp bucket columns so pre-hashed frames can be verified
+    against the caller's planes — a bucket join under MISMATCHED planes
+    silently returns near-empty/wrong candidates instead of erroring.
+    """
+    import hashlib
+
+    arr = np.ascontiguousarray(np.asarray(planes, dtype=np.float64))
+    h = hashlib.sha256()
+    h.update(str(arr.shape).encode())
+    h.update(arr.tobytes())
+    return int.from_bytes(h.digest()[:8], "big") % (2 ** 62)
+
+
 def _bucket_expr(feat_col: str, table_planes: np.ndarray):
     """Bucket id = Σ_j [dot(v, h_j) > 0]·2^j as a JVM-side expression.
 
@@ -68,9 +84,14 @@ def with_lsh_buckets(df: DataFrame, planes: np.ndarray,
     pow2 = (2 ** np.arange(n_planes)).astype(np.int64)
     spark = df.sparkSession
     b_H = spark.sparkContext.broadcast(H)
+    # Stamp the plane-set fingerprint into the bucket_0 schema metadata:
+    # consumers reusing pre-hashed buckets (search_ann's hash-once path)
+    # can verify the buckets came from THESE planes without a Spark job.
+    # Schema metadata survives parquet/bucketed-table round trips.
+    fp_meta = {"planes_fp": planes_fingerprint(planes)}
     out_schema = StructType(
         list(df.schema.fields)
-        + [StructField(f"bucket_{t}", LongType(), False)
+        + [StructField(f"bucket_{t}", LongType(), False, fp_meta)
            for t in range(n_tables)]
     )
 
@@ -94,8 +115,12 @@ def with_lsh_buckets_sql(df: DataFrame, planes: np.ndarray,
                          feat_col: str = "features") -> DataFrame:
     """Pure-expression formulation (the arithmetic the SQL oracle
     replays); kept as the parity reference for `with_lsh_buckets`."""
+    fp_meta = {"planes_fp": planes_fingerprint(planes)}
     for t in range(planes.shape[0]):
-        df = df.withColumn(f"bucket_{t}", _bucket_expr(feat_col, planes[t]))
+        name = f"bucket_{t}"
+        df = df.withColumn(
+            name, _bucket_expr(feat_col, planes[t]).alias(name,
+                                                          metadata=fp_meta))
     return df
 
 

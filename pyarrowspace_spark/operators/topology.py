@@ -198,26 +198,37 @@ def greedy_modularity_communities(
 
     CNM is inherently sequential, so it runs driver-side on the
     collected edge list (exactly how the reference runs NetworkX on its
-    harness graphs) behind a hard `max_nodes` guard; the distributed
-    `label_propagation` remains the 100 TB-scale path, and
-    Q(greedy) ≥ Q(LPA) is pinned by a fixture test. Returns
-    DataFrame[node, community] with community = min member node id.
+    harness graphs) behind a hard `max_nodes` guard — checked with a
+    DISTRIBUTED count BEFORE any collect, so an oversized graph raises
+    without materializing millions of Row objects on the driver. The
+    merge loop uses the classic CNM max-heap of candidate gains (lazy
+    invalidation), O(m log m)-ish, so max_nodes bounds wall-clock too,
+    not just memory. The distributed `label_propagation` remains the
+    100 TB-scale path, and Q(greedy) ≥ Q(LPA) is pinned by a fixture
+    test. Returns DataFrame[node, community] with community = min
+    member node id.
     """
+    import heapq
+
     spark = edges.sparkSession
-    rows = edges.select("src", "dst", "weight").collect()
-    nodes = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
-    if len(nodes) > max_nodes:
+    n_nodes = (
+        edges.select(F.col("src").alias("n"))
+        .unionAll(edges.select(F.col("dst").alias("n")))
+        .distinct().count()
+    )
+    if n_nodes > max_nodes:
         raise ValueError(
             f"greedy modularity is a driver-side algorithm; graph has "
-            f"{len(nodes)} nodes > max_nodes={max_nodes}. Use "
+            f"{n_nodes} nodes > max_nodes={max_nodes}. Use "
             f"label_propagation for distributed community detection."
         )
+    rows = edges.select("src", "dst", "weight").collect()
+    nodes = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
     two_m = 2.0 * sum(r["weight"] for r in rows)
     if two_m <= 0:
         return spark.createDataFrame(
             [(int(n), int(n)) for n in nodes], "node long, community long")
     # community state: adjacency between communities, degree sums
-    comm_of = {n: n for n in nodes}
     members: dict[int, list[int]] = {n: [n] for n in nodes}
     a = {n: 0.0 for n in nodes}          # Σdeg/(2m) per community
     e: dict[int, dict[int, float]] = {n: {} for n in nodes}
@@ -228,19 +239,25 @@ def greedy_modularity_communities(
         if s != d:
             e[s][d] = e[s].get(d, 0.0) + w / two_m
             e[d][s] = e[d].get(s, 0.0) + w / two_m
-    while True:
-        best = None  # (dq, i, j)
-        for i in e:
-            for j, eij in e[i].items():
-                if j <= i:
-                    continue
-                dq = 2.0 * (eij - a[i] * a[j])
-                if best is None or dq > best[0] + 1e-15 or (
-                        abs(dq - best[0]) <= 1e-15 and (i, j) < best[1:]):
-                    best = (dq, i, j)
-        if best is None or best[0] <= 1e-12:
+
+    def _dq(i: int, j: int) -> float:
+        return 2.0 * (e[i][j] - a[i] * a[j])
+
+    # Max-heap of (-gain, i, j) with lazy deletion: an entry is valid
+    # iff both communities still exist and its gain equals the CURRENT
+    # gain (stale entries from pre-merge states are discarded on pop).
+    # heapq's tuple order gives the deterministic tie-break for free:
+    # equal gains pop in (i, j) ascending order.
+    heap = [(-_dq(i, j), i, j) for i in e for j in e[i] if i < j]
+    heapq.heapify(heap)
+    while heap:
+        neg_dq, i, j = heapq.heappop(heap)
+        if i not in e or j not in e or j not in e[i]:
+            continue  # community merged away
+        if -neg_dq != _dq(i, j):
+            continue  # stale gain from a previous state
+        if -neg_dq <= 1e-12:
             break
-        _, i, j = best
         # merge j into i
         for k, w_jk in e[j].items():
             if k == i:
@@ -254,6 +271,9 @@ def greedy_modularity_communities(
         del a[j]
         members[i].extend(members[j])
         del members[j]
+        for k in e[i]:
+            lo, hi = (i, k) if i < k else (k, i)
+            heapq.heappush(heap, (-_dq(lo, hi), lo, hi))
     out = []
     for root, ms in members.items():
         label = min(ms)
