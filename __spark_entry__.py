@@ -898,8 +898,11 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → histogram feature extraction over binary media payloads
-    (Arrow-batched mapInPandas; codec stubbed deterministically — not
-    SQL-expressible, so the driver records the rows-only check)."""
+    (Arrow-batched mapInPandas). Payloads are REAL uncompressed public
+    containers (BMP / PCM WAV, multimodal/codecs.py) whose sample
+    content follows a doc_id-seeded formula, so the decoded features
+    are fully oracle-checked: DuckDB replays the formula + histogram
+    while Spark runs the actual header-parsing decode."""
     from pyarrowspace_spark.multimodal import binary_ops as MM
 
     _ship_package(spark)
@@ -1130,6 +1133,80 @@ def q_magnitude_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _melt_diag(df: DataFrame, section: str,
+               metrics: list[tuple]) -> DataFrame:
+    """Melt a diagnostic frame to (section, metric, value) rows —
+    metrics is [(metric_name_col_or_str, value_col)]."""
+    kvs = []
+    for name, col in metrics:
+        name_col = F.lit(name) if isinstance(name, str) else name
+        kvs.append(F.struct(name_col.alias("metric"),
+                            col.cast("double").alias("value")))
+    return df.select(
+        F.lit(section).alias("section"),
+        F.explode(F.array(*kvs)).alias("_kv"),
+    ).select("section", "_kv.metric", "_kv.value")
+
+
+def q_build_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated build-diagnostics suite as ONE oracle-checked query
+    (r4 verdict: the catalog outgrew the driver's 50-entry correctness
+    window, so the six diagnostic queries — graph sparsity, TwoNN
+    intrinsic dim, theory param suggestions, input-magnitude report,
+    eps sweep, τ sweep — are melted into one long-format frame
+    [section, metric, value]). Each section is the SAME dataflow the
+    standalone q_* function runs; the oracle melts the same SQL."""
+    def _lbl(col, values):
+        lab = None
+        for v in values:
+            cond = F.col(col) == F.lit(float(v))
+            lab = (F.when(cond, F.lit(f"{v:g}")) if lab is None
+                   else lab.when(cond, F.lit(f"{v:g}")))
+        return lab
+
+    gs = _melt_diag(q_graph_sparsity(spark, sf_dir), "graph_sparsity", [
+        ("n_items", F.col("n_items")),
+        ("n_edges", F.col("n_edges")),
+        ("sparsity", F.col("sparsity_r")),
+    ])
+    idim = _melt_diag(q_intrinsic_dim(spark, sf_dir), "intrinsic_dim", [
+        ("n_used", F.col("n_used")),
+        ("id_mle", F.col("id_mle_r")),
+        ("auto_k", F.col("auto_k")),
+    ])
+    sp = _melt_diag(q_suggest_params(spark, sf_dir), "suggest_params", [
+        ("n", F.col("n")),
+        ("id_mle", F.col("id_mle_r")),
+        ("d_used", F.col("d_used")),
+        ("eps_theory", F.col("eps_theory_r")),
+        ("sigma_theory", F.col("sigma_theory_r")),
+        ("s_n", F.col("s_n_r")),
+        ("k_rec", F.col("k_rec")),
+    ])
+    mr = _melt_diag(q_magnitude_report(spark, sf_dir), "magnitude_report", [
+        ("n_items", F.col("n_items")),
+        ("min_norm", F.col("min_norm_r")),
+        ("avg_norm", F.col("avg_norm_r")),
+        ("max_norm", F.col("max_norm_r")),
+        ("n_zero_vectors", F.col("n_zero_vectors")),
+        ("n_nonfinite", F.col("n_nonfinite")),
+    ])
+    el = _lbl("eps", EPS_SWEEP)
+    es = _melt_diag(q_eps_sweep(spark, sf_dir), "eps_sweep", [
+        (F.concat(F.lit("n_edges@"), el), F.col("n_edges")),
+        (F.concat(F.lit("avg_degree@"), el), F.col("avg_degree_r")),
+        (F.concat(F.lit("sparsity@"), el), F.col("sparsity_r")),
+    ])
+    tl = _lbl("tau", TAU_SWEEP)
+    ts = _melt_diag(q_tau_sweep(spark, sf_dir), "tau_sweep", [
+        (F.concat(F.lit("avg_ndcg@"), tl), F.col("avg_ndcg_r")),
+    ])
+    out = gs
+    for part in (idim, sp, mr, es, ts):
+        out = out.unionAll(part)
+    return out
+
+
 def q_json_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-JSON corpus lifecycle (SURVEY §2.1 S4-S5, S7/S9):
     documents → nested CVE-shaped records → year-partitioned JSON sink
@@ -1261,11 +1338,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr": q_ppr,
         "media_frame_sample": q_media_frame_sample,
         "media_decode_features": q_media_decode_features,
-        "search_hybrid": q_search_hybrid,
-        "graph_sparsity": q_graph_sparsity,
-        "intrinsic_dim": q_intrinsic_dim,
+        # search_hybrid retired as a separate catalog entry (r5): it is
+        # pinned == lambda_search (G6 spec gap, zero reference call
+        # sites) so one oracle row cannot distinguish them; the
+        # operator + q_search_hybrid stay for API parity.
         "random_projection": q_random_projection,
-        "suggest_params": q_suggest_params,
         "paired_ttest": q_paired_ttest,
         "topology_metrics": q_topology_metrics,
         "json_corpus_roundtrip": q_json_corpus_roundtrip,
@@ -1273,12 +1350,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_vs_reference": q_ndcg_vs_reference,
         "lang_id": q_lang_id,
         "ivf_ann_topk": q_ivf_ann_topk,
-        "tau_sweep": q_tau_sweep,
-        "magnitude_report": q_magnitude_report,
+        # graph_sparsity / intrinsic_dim / suggest_params /
+        # magnitude_report / eps_sweep / tau_sweep are folded into ONE
+        # catalog entry (r5) so the driver's 50-entry correctness
+        # window covers every operator; the standalone q_* functions
+        # remain and build_diagnostics composes them unchanged.
+        "build_diagnostics": q_build_diagnostics,
         "dup_components": q_dup_components,
         "dedup_keeplist": q_dedup_keeplist,
         "shard_by_tokens": q_shard_by_tokens,
-        "eps_sweep": q_eps_sweep,
         "clean_corpus": q_clean_corpus,
     }
 
@@ -2665,15 +2745,48 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM emb a JOIN emb b ON a.id < b.id
 WHERE {_SQL_COS.format(a='a.e', b='b.e')} >= {NEARDUP_COS_T}""",
 
-        # media_decode_features intentionally absent: the deterministic
-        # codec stub (sha256-seeded histogram) is not SQL-expressible;
-        # the driver records the weaker rows-only check for it.
+        # Video payloads are real 16-bit stereo WAVs sized by the doc
+        # text: 44-byte header + 4 bytes per frame (see codecs.py).
         "media_frame_sample": f"""
 SELECT doc_id AS media_id,
-       unnest(generate_series(0, octet_length(encode(text)) * 10,
+       unnest(generate_series(0, length(text) * 10,
                               {MEDIA_FRAME_MS}))::BIGINT AS frame_ms,
-       octet_length(encode(text))::BIGINT AS payload_bytes
+       (44 + 4 * length(text))::BIGINT AS payload_bytes
 FROM documents WHERE doc_id % 3 = 2""",
+
+        # The decoded feature stream is SQL-replayable because payloads
+        # are real BMP/WAV containers whose sample content follows a
+        # doc_id-seeded formula (multimodal/binary_ops.py): the oracle
+        # regenerates the stream arithmetically and histograms it —
+        # Spark must land on the identical values via the actual
+        # encode -> header-parse -> decode round trip.
+        "media_decode_features": f"""
+WITH m AS (
+  SELECT doc_id, doc_id % 3 AS k, length(text) AS L FROM documents),
+n AS (
+  SELECT doc_id, k,
+         CASE k WHEN 0 THEN ((doc_id % 48 + 16) * (doc_id % 64 + 16) * 3)
+                WHEN 1 THEN L ELSE 2 * L END AS cnt
+  FROM m),
+v AS (
+  SELECT doc_id,
+         CASE k WHEN 0 THEN (doc_id * 31 + i * 7) % 256
+                WHEN 1 THEN (doc_id * 17 + i * 11) % 256
+                ELSE ((doc_id * 13 + i * 5) % 65536) // 256 END AS val
+  FROM (SELECT doc_id, k, unnest(range(0, cnt)) AS i FROM n)),
+hist AS (
+  SELECT doc_id,
+         sum(CASE WHEN val // {256 // MEDIA_NF} = 0
+                  THEN 1 ELSE 0 END)::DOUBLE / count(*) AS f0,
+         sum(CASE WHEN val // {256 // MEDIA_NF} = {MEDIA_NF - 1}
+                  THEN 1 ELSE 0 END)::DOUBLE / count(*) AS flast
+  FROM v GROUP BY 1)
+SELECT n.doc_id AS media_id,
+       CASE n.k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+       round(coalesce(h.f0, 0.0), 6) AS f0_r,
+       round(coalesce(h.flast, 0.0), 6) AS f_last_r
+FROM n LEFT JOIN hist h ON h.doc_id = n.doc_id""",
 
         "graph_sparsity": f"""
 WITH {_sql_knn_edges_cte()},
@@ -3086,4 +3199,50 @@ SELECT lang, count(*)::BIGINT AS n_docs,
        sum(n_tokens)::BIGINT AS total_tokens,
        round(avg(punct_ratio), 6) AS avg_punct_r
 FROM stats GROUP BY lang"""
+
+    # --- build_diagnostics: melt the six diagnostic SQL bodies into
+    # one long-format (section, metric, value) union — the oracle twin
+    # of q_build_diagnostics. The standalone SQL strings are consumed
+    # (popped) because the catalog no longer exposes them separately;
+    # search_hybrid's row is likewise retired (pinned == lambda_search,
+    # one oracle row cannot distinguish them).
+    _lbl_eps = ("CASE " + " ".join(
+        f"WHEN eps = {float(_e)!r} THEN '{_e:g}'" for _e in EPS_SWEEP)
+        + " END")
+    _lbl_tau = ("CASE " + " ".join(
+        f"WHEN tau = {float(_t)!r} THEN '{_t:g}'" for _t in TAU_SWEEP)
+        + " END")
+    d["build_diagnostics"] = f"""
+SELECT 'graph_sparsity' AS section,
+       unnest(['n_items', 'n_edges', 'sparsity']) AS metric,
+       unnest([n_items::DOUBLE, n_edges::DOUBLE, sparsity_r]) AS value
+FROM ({d.pop('graph_sparsity')})
+UNION ALL
+SELECT 'intrinsic_dim', unnest(['n_used', 'id_mle', 'auto_k']),
+       unnest([n_used::DOUBLE, id_mle_r, auto_k::DOUBLE])
+FROM ({d.pop('intrinsic_dim')})
+UNION ALL
+SELECT 'suggest_params',
+       unnest(['n', 'id_mle', 'd_used', 'eps_theory', 'sigma_theory',
+               's_n', 'k_rec']),
+       unnest([n::DOUBLE, id_mle_r, d_used::DOUBLE, eps_theory_r,
+               sigma_theory_r, s_n_r, k_rec::DOUBLE])
+FROM ({d.pop('suggest_params')})
+UNION ALL
+SELECT 'magnitude_report',
+       unnest(['n_items', 'min_norm', 'avg_norm', 'max_norm',
+               'n_zero_vectors', 'n_nonfinite']),
+       unnest([n_items::DOUBLE, min_norm_r, avg_norm_r, max_norm_r,
+               n_zero_vectors::DOUBLE, n_nonfinite::DOUBLE])
+FROM ({d.pop('magnitude_report')})
+UNION ALL
+SELECT 'eps_sweep',
+       unnest(['n_edges@' || lbl, 'avg_degree@' || lbl,
+               'sparsity@' || lbl]),
+       unnest([n_edges::DOUBLE, avg_degree_r, sparsity_r])
+FROM (SELECT *, {_lbl_eps} AS lbl FROM ({d.pop('eps_sweep')}))
+UNION ALL
+SELECT 'tau_sweep', unnest(['avg_ndcg@' || lbl]), unnest([avg_ndcg_r])
+FROM (SELECT *, {_lbl_tau} AS lbl FROM ({d.pop('tau_sweep')}))"""
+    d.pop("search_hybrid")
     return d
