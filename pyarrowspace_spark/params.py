@@ -11,7 +11,7 @@ src/energyparams.rs:6-46, defaults documented src/lib.rs:310-323).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, asdict
 
 
 @dataclass(frozen=True)
