@@ -1433,7 +1433,7 @@ qu AS (
     FROM d WHERE id < {N_QUERIES})
   WHERE rn <= {IVF_N_PROBE}
 ),
-cand AS (SELECT DISTINCT qu.id AS query_id, it.id AS item_id
+cand AS MATERIALIZED (SELECT DISTINCT qu.id AS query_id, it.id AS item_id
          FROM qu JOIN it USING (cell)),
 scored AS (
   SELECT c.query_id, c.item_id,
@@ -1454,24 +1454,24 @@ def _sql_knn_edges_cte() -> str:
     """Shared CTE: canonical weighted λτ-graph edges on embeddings."""
     cos = _SQL_COS.format(a="a.e", b="b.e")
     return f"""
-emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
-cand AS (
+emb AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+cand AS MATERIALIZED (
   SELECT a.id AS src, b.id AS dst,
          1.0 - greatest({cos}, 0.0) AS dist
   FROM emb a, emb b WHERE a.id <> b.id
 ),
-inball AS (SELECT * FROM cand WHERE dist <= {KNN_EPS}),
-knn AS (
+inball AS MATERIALIZED (SELECT * FROM cand WHERE dist <= {KNN_EPS}),
+knn AS MATERIALIZED (
   SELECT src, dst, dist,
          row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rn
   FROM inball
 ),
-kept AS (SELECT src, dst, dist FROM knn WHERE rn <= {KNN_K}),
-canon AS (
+kept AS MATERIALIZED (SELECT src, dst, dist FROM knn WHERE rn <= {KNN_K}),
+canon AS MATERIALIZED (
   SELECT least(src, dst) AS src, greatest(src, dst) AS dst, min(dist) AS dist
   FROM kept GROUP BY 1, 2
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT src, dst, dist,
          1.0 / (1.0 + pow(dist / {KNN_SIGMA}, {KNN_P})) AS weight
   FROM canon
@@ -1580,7 +1580,7 @@ def _sql_energy_search() -> str:
         child_cte = f"children AS (SELECT * FROM (VALUES {child_vals}) " \
                     "AS t(old_cid, child_id, c)),"
         reassign = """
-reassign AS (
+reassign AS MATERIALIZED (
   SELECT id, child_id AS centroid_id FROM (
     SELECT a.id, ch.child_id,
            row_number() OVER (PARTITION BY a.id ORDER BY
@@ -1589,7 +1589,7 @@ reassign AS (
     FROM assign0 a JOIN xd x ON x.id = a.id
     JOIN children ch ON ch.old_cid = a.centroid_id)
   WHERE rn = 1),
-final_assign AS (
+final_assign AS MATERIALIZED (
   SELECT id, centroid_id FROM assign0
   WHERE centroid_id NOT IN (SELECT DISTINCT old_cid FROM children)
   UNION ALL SELECT id, centroid_id FROM reassign),"""
@@ -1600,70 +1600,70 @@ final_assign AS (
     qids = ", ".join(str(q) for q in LAMBDA_QIDS)
     return f"""
 WITH {_sql_knn_edges_cte()},
-bothdir AS (SELECT src, dst, weight FROM edges
+bothdir AS MATERIALIZED (SELECT src, dst, weight FROM edges
             UNION ALL SELECT dst, src, weight FROM edges),
-deg AS (SELECT src AS id, sum(weight) AS d FROM bothdir GROUP BY 1),
-f0 AS (SELECT id, unnest(e) AS v, generate_subscripts(e,1) - 1 AS fi FROM emb),
-n0 AS (
+deg AS MATERIALIZED (SELECT src AS id, sum(weight) AS d FROM bothdir GROUP BY 1),
+f0 AS MATERIALIZED (SELECT id, unnest(e) AS v, generate_subscripts(e,1) - 1 AS fi FROM emb),
+n0 AS MATERIALIZED (
   SELECT e.dst AS id, f.fi, sum(e.weight * f.v) AS s
   FROM bothdir e JOIN f0 f ON f.id = e.src GROUP BY 1, 2),
-d1 AS (
+d1 AS MATERIALIZED (
   SELECT f0.id, f0.fi,
          (1 - {DIFF_ETA} * coalesce(deg.d, 0)) * f0.v
          + {DIFF_ETA} * coalesce(n0.s, 0) AS v
   FROM f0 LEFT JOIN deg ON deg.id = f0.id
   LEFT JOIN n0 ON n0.id = f0.id AND n0.fi = f0.fi),
-n1 AS (
+n1 AS MATERIALIZED (
   SELECT e.dst AS id, f.fi, sum(e.weight * f.v) AS s
   FROM bothdir e JOIN d1 f ON f.id = e.src GROUP BY 1, 2),
-d2step AS (
+d2step AS MATERIALIZED (
   SELECT d1.id, d1.fi,
          (1 - {DIFF_ETA} * coalesce(deg.d, 0)) * d1.v
          + {DIFF_ETA} * coalesce(n1.s, 0) AS v
   FROM d1 LEFT JOIN deg ON deg.id = d1.id
   LEFT JOIN n1 ON n1.id = d1.id AND n1.fi = d1.fi),
-xd AS (SELECT id, list(v ORDER BY fi) AS e FROM d2step GROUP BY id),
-xf AS (SELECT id, fi, v FROM d2step),
-tcut AS (SELECT quantile_cont(weight, 0.1) AS c FROM edges),
-tboth AS (SELECT b.src, b.dst, b.weight FROM bothdir b, tcut
+xd AS MATERIALIZED (SELECT id, list(v ORDER BY fi) AS e FROM d2step GROUP BY id),
+xf AS MATERIALIZED (SELECT id, fi, v FROM d2step),
+tcut AS MATERIALIZED (SELECT quantile_cont(weight, 0.1) AS c FROM edges),
+tboth AS MATERIALIZED (SELECT b.src, b.dst, b.weight FROM bothdir b, tcut
           WHERE b.weight >= tcut.c),
-tdeg AS (SELECT src AS id, sum(weight) AS d FROM tboth GROUP BY 1),
-lf_deg AS (
+tdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS d FROM tboth GROUP BY 1),
+lf_deg AS MATERIALIZED (
   SELECT a.fi AS f, b.fi AS g, sum(td.d * a.v * b.v) AS val
   FROM xf a JOIN xf b ON a.id = b.id JOIN tdeg td ON td.id = a.id
   GROUP BY 1, 2),
-lf_edge AS (
+lf_edge AS MATERIALIZED (
   SELECT fa.fi AS f, fb.fi AS g, sum(e.weight * fa.v * fb.v) AS val
   FROM tboth e JOIN xf fa ON fa.id = e.src JOIN xf fb ON fb.id = e.dst
   GROUP BY 1, 2),
-lf AS (
+lf AS MATERIALIZED (
   SELECT d.f, d.g, d.val - coalesce(e.val, 0) AS val
   FROM lf_deg d LEFT JOIN lf_edge e ON e.f = d.f AND e.g = d.g),
-eraw AS (
+eraw AS MATERIALIZED (
   SELECT xa.id, sum(xa.v * lf.val * xb.v) AS e_raw
   FROM xf xa JOIN lf ON lf.f = xa.fi JOIN xf xb
     ON xb.id = xa.id AND xb.fi = lf.g
   GROUP BY 1),
-wpos AS (SELECT f, g, greatest(-val, 0) AS w FROM lf WHERE f <> g),
-dispterms AS (
+wpos AS MATERIALIZED (SELECT f, g, greatest(-val, 0) AS w FROM lf WHERE f <> g),
+dispterms AS MATERIALIZED (
   SELECT xa.id,
          sum(w.w * (xa.v - xb.v) * (xa.v - xb.v)) AS tot,
          sum(w.w * w.w * pow(xa.v - xb.v, 4)) AS sumsq
   FROM wpos w JOIN xf xa ON xa.fi = w.f JOIN xf xb
     ON xb.id = xa.id AND xb.fi = w.g
   GROUP BY 1),
-gval AS (
+gval AS MATERIALIZED (
   SELECT id, CASE WHEN tot > 0 THEN least(greatest(sumsq / (tot * tot), 0), 1)
                   ELSE 0 END AS g
   FROM dispterms),
-tau AS (SELECT quantile_cont(e_raw, 0.5) AS t FROM eraw),
-lam AS (
+tau AS MATERIALIZED (SELECT quantile_cont(e_raw, 0.5) AS t FROM eraw),
+lam AS MATERIALIZED (
   SELECT e.id,
          tau.t * (e.e_raw / (e.e_raw + tau.t)) + (1 - tau.t) * g.g AS lambda,
          e.e_raw
   FROM eraw e JOIN gval g ON g.id = e.id, tau),
 cents AS (SELECT * FROM (VALUES {cent_vals}) AS t(cell, c)),
-assign0 AS (
+assign0 AS MATERIALIZED (
   SELECT id, cell AS centroid_id FROM (
     SELECT x.id, cents.cell,
            row_number() OVER (PARTITION BY x.id ORDER BY
@@ -1673,14 +1673,14 @@ assign0 AS (
   WHERE rn = 1),
 {child_cte}
 {reassign}
-cattrs AS (
+cattrs AS MATERIALIZED (
   SELECT fa.centroid_id, avg(l.lambda) AS lambda_c, avg(l.e_raw) AS e_c
   FROM final_assign fa JOIN lam l ON l.id = fa.id
   GROUP BY 1),
-queries AS (
+queries AS MATERIALIZED (
   SELECT id AS query_id, lambda AS q_lambda, e_raw AS q_e
   FROM lam WHERE id IN ({qids})),
-shortlist AS (
+shortlist AS MATERIALIZED (
   SELECT query_id, centroid_id, q_lambda, q_e FROM (
     SELECT q.query_id, c.centroid_id, q.q_lambda, q.q_e,
            row_number() OVER (PARTITION BY q.query_id ORDER BY
@@ -1758,19 +1758,19 @@ def _sql_lambda_cte() -> str:
     Validated against a numpy ground-truth implementation
     (prototypes/lambda_sql.py)."""
     return f"""{_sql_knn_edges_cte()},
-bothdir AS (SELECT src, dst, weight FROM edges
+bothdir AS MATERIALIZED (SELECT src, dst, weight FROM edges
             UNION ALL SELECT dst, src, weight FROM edges),
-deg AS (SELECT src AS id, sum(weight) AS d FROM bothdir GROUP BY 1),
+deg AS MATERIALIZED (SELECT src AS id, sum(weight) AS d FROM bothdir GROUP BY 1),
 feats AS (SELECT id, unnest(e) AS v, generate_subscripts(e,1) AS fi FROM emb),
 lf_diag AS (
   SELECT a.fi AS fi, b.fi AS fj, sum(d.d * a.v * b.v) AS val
   FROM feats a JOIN feats b USING (id) JOIN deg d ON d.id = a.id
   GROUP BY 1, 2),
-lf_edge AS (
+lf_edge AS MATERIALIZED (
   SELECT a.fi AS fi, b.fi AS fj, sum(-e.weight * a.v * b.v) AS val
   FROM bothdir e JOIN feats a ON a.id = e.src JOIN feats b ON b.id = e.dst
   GROUP BY 1, 2),
-lf AS (
+lf AS MATERIALIZED (
   SELECT fi, fj, sum(val) AS lv FROM (
     SELECT * FROM lf_diag UNION ALL SELECT * FROM lf_edge) GROUP BY 1, 2),
 q AS (SELECT id AS qid, list_transform(e, x -> x * 1.05) AS e
@@ -1779,7 +1779,7 @@ qfeats AS (SELECT qid AS id, unnest(e) AS v, generate_subscripts(e,1) AS fi FROM
 allfeats AS (
   SELECT 'i' AS kind, id, v, fi FROM feats
   UNION ALL SELECT 'q' AS kind, id, v, fi FROM qfeats),
-eraw AS (
+eraw AS MATERIALIZED (
   SELECT f1.kind, f1.id, sum(f1.v * l.lv * f2.v) AS e_raw
   FROM allfeats f1
   JOIN lf l ON l.fi = f1.fi
@@ -1796,7 +1796,7 @@ gshare AS (
   JOIN allfeats f1 ON f1.fi = fe.fi
   JOIN allfeats f2 ON f2.kind = f1.kind AND f2.id = f1.id AND f2.fi = fe.fj
   GROUP BY 1, 2),
-gval AS (
+gval AS MATERIALIZED (
   SELECT kind, id,
          least(greatest(CASE WHEN tot > 0 THEN sumsq / (tot * tot)
                              ELSE 0 END, 0.0), 1.0) AS g
@@ -1842,7 +1842,7 @@ def _sql_cos_eucl_rankings_cte() -> str:
     the first N_QUERIES embeddings (self excluded)."""
     cos = _SQL_COS.format(a="q.e", b="c.e")
     return f"""
-emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+emb AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
 q AS (SELECT id, e FROM emb WHERE id < {N_QUERIES}),
 base AS (
   SELECT q.id AS query_id, c.id AS item_id,
@@ -1889,7 +1889,7 @@ def _sql_ppr_blocks(sources=LAMBDA_QIDS) -> str:
     src_vals = ", ".join(f"({s}, {s}, 1.0)" for s in sources)
     restart_vals = ", ".join(f"({s}, {s})" for s in sources)
     blocks = [f"""
-deg AS (SELECT src AS node, sum(weight) AS degree FROM bothdir GROUP BY 1),
+deg AS MATERIALIZED (SELECT src AS node, sum(weight) AS degree FROM bothdir GROUP BY 1),
 trans AS (
   SELECT b.src, b.dst, b.weight / d.degree AS p
   FROM bothdir b JOIN deg d ON d.node = b.src),
@@ -1915,7 +1915,7 @@ def _sql_topology_metrics() -> str:
     cos = _SQL_COS.format(a="q.e", b="c.e")
     return f"""
 WITH {_sql_knn_edges_cte()},
-bothdir AS (SELECT src, dst, weight FROM edges
+bothdir AS MATERIALIZED (SELECT src, dst, weight FROM edges
             UNION ALL SELECT dst, src, weight FROM edges),
 {_sql_ppr_blocks(tuple(range(N_QUERIES)))},
 {_sql_lpa_blocks()},
@@ -2423,7 +2423,7 @@ WHERE e.kind = 'i'""",
 
         "lambda_search": f"""
 WITH {_sql_lambda_cte()},
-lam AS (
+lam AS MATERIALIZED (
   SELECT e.kind, e.id,
          {LAMBDA_TAU} * (e.e_raw / (e.e_raw + {LAMBDA_TAU}))
          + (1 - {LAMBDA_TAU}) * g.g AS lam
@@ -2446,7 +2446,7 @@ FROM ranked WHERE rank <= {TOPK}""",
 
         "lambda_search_ann": f"""
 WITH {_sql_lambda_cte()},
-lam AS (
+lam AS MATERIALIZED (
   SELECT e.kind, e.id,
          {LAMBDA_TAU} * (e.e_raw / (e.e_raw + {LAMBDA_TAU}))
          + (1 - {LAMBDA_TAU}) * g.g AS lam
@@ -2500,7 +2500,7 @@ qu AS (
       + f"]) AS probe, {t} AS tbl FROM qu0"
       for t in range(ANN_N_TABLES))}
 ),
-cand AS (
+cand AS MATERIALIZED (
   {' UNION ALL '.join(
       f"SELECT qu.id AS query_id, it.id AS item_id "
       f"FROM qu JOIN it ON qu.tbl = {t} AND qu.probe = it.bucket_{t}"
@@ -2658,23 +2658,23 @@ FROM ranked WHERE rn = 1""",
 
         "energy_diffusion": f"""
 WITH {_sql_knn_edges_cte()},
-bothdir AS (SELECT src, dst, weight FROM edges
+bothdir AS MATERIALIZED (SELECT src, dst, weight FROM edges
             UNION ALL SELECT dst, src, weight FROM edges),
-deg AS (SELECT src AS id, sum(weight) AS d FROM bothdir GROUP BY 1),
-f0 AS (SELECT id, unnest(e) AS v, generate_subscripts(e,1) - 1 AS fi FROM emb),
-n0 AS (
+deg AS MATERIALIZED (SELECT src AS id, sum(weight) AS d FROM bothdir GROUP BY 1),
+f0 AS MATERIALIZED (SELECT id, unnest(e) AS v, generate_subscripts(e,1) - 1 AS fi FROM emb),
+n0 AS MATERIALIZED (
   SELECT e.dst AS id, f.fi, sum(e.weight * f.v) AS s
   FROM bothdir e JOIN f0 f ON f.id = e.src GROUP BY 1, 2),
-d1 AS (
+d1 AS MATERIALIZED (
   SELECT f0.id, f0.fi,
          (1 - {DIFF_ETA} * coalesce(deg.d, 0)) * f0.v
          + {DIFF_ETA} * coalesce(n0.s, 0) AS v
   FROM f0 LEFT JOIN deg ON deg.id = f0.id
   LEFT JOIN n0 ON n0.id = f0.id AND n0.fi = f0.fi),
-n1 AS (
+n1 AS MATERIALIZED (
   SELECT e.dst AS id, f.fi, sum(e.weight * f.v) AS s
   FROM bothdir e JOIN d1 f ON f.id = e.src GROUP BY 1, 2),
-d2 AS (
+d2 AS MATERIALIZED (
   SELECT d1.id, d1.fi,
          (1 - {DIFF_ETA} * coalesce(deg.d, 0)) * d1.v
          + {DIFF_ETA} * coalesce(n1.s, 0) AS v
@@ -2702,7 +2702,7 @@ FROM agg""",
 
         "modularity": f"""
 WITH {_sql_knn_edges_cte()},
-bothdir AS (SELECT src, dst, weight FROM edges
+bothdir AS MATERIALIZED (SELECT src, dst, weight FROM edges
             UNION ALL SELECT dst, src, weight FROM edges),
 comm AS (SELECT vec_id AS node, label AS community FROM embeddings),
 m AS (SELECT sum(weight) AS m FROM edges),
@@ -2712,7 +2712,7 @@ inw AS (
   JOIN comm a ON a.node = e.src
   JOIN comm b ON b.node = e.dst AND b.community = a.community
   GROUP BY 1),
-deg AS (
+deg AS MATERIALIZED (
   SELECT c.community, sum(d.degree) AS deg_sum FROM
     (SELECT src AS node, sum(weight) AS degree FROM bothdir GROUP BY 1) d
   JOIN comm c ON c.node = d.node
@@ -2726,14 +2726,14 @@ FROM deg d LEFT JOIN inw i ON i.community = d.community""",
 
         "label_propagation": f"""
 WITH {_sql_knn_edges_cte()},
-bothdir AS (SELECT src, dst, weight FROM edges
+bothdir AS MATERIALIZED (SELECT src, dst, weight FROM edges
             UNION ALL SELECT dst, src, weight FROM edges),
 {_sql_lpa_blocks()}
 SELECT node, CAST(community AS BIGINT) AS community FROM lab{LPA_ITERS}""",
 
         "ppr": f"""
 WITH {_sql_knn_edges_cte()},
-bothdir AS (SELECT src, dst, weight FROM edges
+bothdir AS MATERIALIZED (SELECT src, dst, weight FROM edges
             UNION ALL SELECT dst, src, weight FROM edges),
 {_sql_ppr_blocks()}
 SELECT source, node, round(ppr, 8) AS ppr_r FROM ppr{PPR_ITERS}""",
@@ -3138,7 +3138,7 @@ SELECT count(*)::BIGINT AS n_items,
 FROM n"""
     d["ndcg_vs_reference"] = f"""
 WITH {_sql_lambda_cte()},
-lam AS (
+lam AS MATERIALIZED (
   SELECT e.kind, e.id,
          {LAMBDA_TAU} * (e.e_raw / (e.e_raw + {LAMBDA_TAU}))
          + (1 - {LAMBDA_TAU}) * g.g AS lam

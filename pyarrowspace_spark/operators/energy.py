@@ -24,12 +24,15 @@ spec gap); formulas here are pinned by our own golden tests.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.matrix import collect_id_matrix
 from ..params import EnergyParams, GraphParams
 from . import knn as knn_ops
 from . import lambda_index as lam_ops
@@ -40,6 +43,32 @@ from . import lambda_index as lam_ops
 COMPRESS_MAX_TRAIN = 100_000
 
 
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected edge list as both directed halves."""
+    return edges.select("src", "dst", "weight").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                     "weight")
+    )
+
+
+# Broadcast-tier ceiling for the diffusion matrix: below this many f64
+# bytes (N x F x 8) the per-step X is shipped to the workers whole and
+# only the NARROW edge list shuffles. The first formulation of this
+# operator exploded features into (node, fi, v) rows and joined them to
+# the edges, i.e. an E x F-row shuffle per step — ~90 GB/step at
+# N=313k, F=384, which filled the bench host's disk. The fix is the
+# same asymmetry every broadcast join exploits: shuffle the small
+# narrow thing (edges, ~24 B/row), broadcast the big wide thing (X).
+DIFFUSE_BROADCAST_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_DIFFUSE_BCAST_MAX", str(4 * 1024**3))
+)
+
+
+def _edge_groups(n_edges: int) -> int:
+    """Kernel task count: ~400k edge rows per applyInPandas call."""
+    return int(min(4096, max(32, -(-n_edges // 400_000))))
+
+
 def diffusion_step(
     items: DataFrame,
     edges: DataFrame,
@@ -47,47 +76,131 @@ def diffusion_step(
     id_col: str = "item_id",
     feat_col: str = "features",
 ) -> DataFrame:
-    """One heat-diffusion step: x_i ← (1 − η·deg_i)·x_i + η·Σ_j w_ij·x_j.
+    """One distributed heat-diffusion step:
+    x_i ← (1 − η·deg_i)·x_i + η·Σ_j w_ij·x_j.
 
-    Pure dataflow: features exploded to (node, feature_idx, value),
-    neighbor contributions shuffled on (dst, feature_idx), then array
-    re-assembled ordered by feature index. Scales as O(E·F) shuffle
-    rows — no driver-side matrix.
+    Scale shape (the beyond-broadcast tier): the edge→feature join
+    shuffles E rows carrying the source feature ARRAY (E·F values, one
+    row per edge — never the E×F exploded rows of the naive plan); the
+    per-destination sums run in Arrow-batched numpy over hash-grouped
+    edge blocks; the final update is a JVM-side `zip_with` — no Python
+    pass over non-edge rows, isolated nodes keep x unchanged via the
+    left joins. Per-step shuffle is O(E·F + 2·N·F) values, linear in
+    the corpus.
     """
-    both = edges.select("src", "dst", "weight").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
-                     "weight")
+    both = _symmetrize(edges)
+    deg = both.groupBy(F.col("dst").alias(id_col)).agg(
+        F.sum("weight").alias("_deg")
     )
-    deg = both.groupBy(F.col("src").alias(id_col)).agg(
-        F.sum("weight").alias("deg")
+    msgs = both.join(
+        items.select(F.col(id_col).alias("src"),
+                     F.col(feat_col).alias("_xf")),
+        "src",
+    ).select("dst", "weight", "_xf")
+
+    def _sum_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(pdf["_xf"].to_numpy()).astype(np.float64)
+        w = pdf["weight"].to_numpy(np.float64)
+        dstv = pdf["dst"].to_numpy(np.int64)
+        order = np.argsort(dstv, kind="stable")
+        dsts, starts = np.unique(dstv[order], return_index=True)
+        nsum = np.add.reduceat(M[order] * w[order][:, None], starts, axis=0)
+        return pd.DataFrame({id_col: dsts, "_nsum": list(nsum)})
+
+    nsum = (
+        msgs.withColumn("_g", F.pmod(F.xxhash64("dst"), F.lit(512)))
+        .groupBy("_g")
+        .applyInPandas(_sum_kernel, f"{id_col} long, _nsum array<double>")
     )
-    pos = items.select(
-        id_col, F.posexplode(feat_col).alias("fi", "v")
-    )
-    neigh = (
-        both.join(pos.withColumnRenamed(id_col, "src"), "src")
-        .groupBy(F.col("dst").alias(id_col), "fi")
-        .agg(F.sum(F.col("weight") * F.col("v")).alias("nsum"))
-    )
-    new_pos = (
-        pos.join(deg, id_col, "left")
-        .join(neigh, [id_col, "fi"], "left")
+    scale = F.lit(1.0) - F.lit(eta) * F.coalesce("_deg", F.lit(0.0))
+    filled = F.coalesce(
+        "_nsum", F.array_repeat(F.lit(0.0), F.size(feat_col)))
+    return (
+        items.select(id_col, feat_col)
+        .join(deg, id_col, "left")
+        .join(nsum, id_col, "left")
         .select(
-            id_col, "fi",
-            ((F.lit(1.0) - F.lit(eta) * F.coalesce("deg", F.lit(0.0)))
-             * F.col("v")
-             + F.lit(eta) * F.coalesce("nsum", F.lit(0.0))).alias("v"),
+            id_col,
+            F.zip_with(
+                feat_col, filled,
+                lambda x, s: scale * x + F.lit(eta) * s,
+            ).alias(feat_col),
         )
     )
-    return (
-        new_pos.groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("fi", "v"))).alias("fv"))
-        .select(id_col, F.col("fv.v").alias(feat_col))
-    )
+
+
+def _diffuse_broadcast(
+    items: DataFrame, edges: DataFrame, eta: float, steps: int,
+    id_col: str, feat_col: str,
+) -> DataFrame:
+    """Broadcast-X diffusion tier: X lives on the driver between steps
+    (same policy as the lambda_index driver/broadcast tiers), each step
+    broadcasts it whole and runs partition-local gather+segment-sum
+    numpy over hash-grouped NARROW edges — per-step shuffle is just the
+    ~24-byte edge rows, and the wide X never shuffles at all."""
+    spark = items.sparkSession
+    sc = spark.sparkContext
+    # orderBy → ids ascending, so searchsorted is a valid id→row map
+    # (edge endpoints come from these same items by construction).
+    ids, X = collect_id_matrix(items.orderBy(id_col), id_col, feat_col)
+    both = _symmetrize(edges)
+    n_both = both.count()
+    both = both.withColumn(
+        "_g", F.pmod(F.xxhash64("dst"), F.lit(_edge_groups(n_both)))
+    ).persist()
+    schema = f"{id_col} long, {feat_col} array<double>"
+    try:
+        eta_f = float(eta)
+        for _ in range(int(steps)):
+            bc = sc.broadcast((ids, X))
+            _bc, _eta = bc, eta_f  # rebound per step; closed over below
+
+            def _step_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                bids, bX = _bc.value
+                src_pos = np.searchsorted(
+                    bids, pdf["src"].to_numpy(np.int64))
+                dstv = pdf["dst"].to_numpy(np.int64)
+                w = pdf["weight"].to_numpy(np.float64)
+                order = np.argsort(dstv, kind="stable")
+                dsts, starts = np.unique(dstv[order], return_index=True)
+                nsum = np.add.reduceat(
+                    bX[src_pos[order]] * w[order][:, None], starts, axis=0)
+                degv = np.add.reduceat(w[order], starts)
+                dst_pos = np.searchsorted(bids, dsts)
+                newx = ((1.0 - _eta * degv)[:, None] * bX[dst_pos]
+                        + _eta * nsum)
+                return pd.DataFrame({id_col: dsts, feat_col: list(newx)})
+
+            touched = (
+                both.groupBy("_g")
+                .applyInPandas(_step_kernel, schema)
+                .toPandas()
+            )
+            pos = np.searchsorted(ids, touched[id_col].to_numpy(np.int64))
+            X = X.copy()  # isolated nodes keep their previous x
+            X[pos] = np.stack(touched[feat_col].to_numpy())
+            bc.unpersist(blocking=False)
+    finally:
+        both.unpersist()
+    return spark.createDataFrame(
+        pd.DataFrame({id_col: ids, feat_col: list(X)}), schema=schema)
 
 
 def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
             id_col: str = "item_id", feat_col: str = "features") -> DataFrame:
+    """G12 heat diffusion, `steps` iterations. Physical tiers:
+
+    - broadcast tier (N·F·8 ≤ DIFFUSE_BROADCAST_MAX_BYTES, default
+      4 GiB ≈ 1.4M items at F=384): narrow-edge shuffle + broadcast X.
+    - distributed tier beyond: per-step `diffusion_step` dataflow with
+      array-carrying edge messages, lineage capped per step.
+    """
+    if int(steps) <= 0:
+        return items.select(id_col, feat_col)
+    nf = int(items.select(F.size(feat_col).alias("f")).first()["f"])
+    n = items.count()
+    if n * nf * 8 <= DIFFUSE_BROADCAST_MAX_BYTES:
+        return _diffuse_broadcast(items, edges, eta, steps, id_col, feat_col)
     out = items.select(id_col, feat_col)
     for _ in range(int(steps)):
         out = diffusion_step(out, edges, eta, id_col, feat_col)
@@ -172,7 +285,6 @@ def build_energy(
     # Training collects a deterministically hash-capped matrix via the
     # Arrow path; assignment stays fully distributed (broadcast-gemm
     # argmin), so the plan scales exactly like IVF.
-    from ..functions.matrix import collect_id_matrix
     from .simsearch import deterministic_cap, ivf_assign, lloyd_kmeans
 
     k_tokens = int(eparams.optical_tokens or 40)
@@ -264,7 +376,10 @@ def build_energy(
         centroids = _centroid_attrs(with_c)
 
     return EnergyIndex(
-        items=with_c,
+        # persisted: every consumer (search member rescore, centroid
+        # attrs, the bench materialize) re-reads items; without this
+        # the join lineage recomputes the λ kernel pass per action.
+        items=with_c.persist(),
         centroids=centroids.persist(),
         edges=kept_edges,
         feature_laplacian=lf,

@@ -72,6 +72,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # Long multi-phase jobs (the at-scale bench) accumulate shuffle
+        # files whose RDDs are unreferenced but not yet JVM-GC'd; a
+        # periodic driver GC lets ContextCleaner reclaim that disk
+        # instead of letting spill grow monotonically across phases.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         # Quiet progress bars in test logs.
         .config("spark.ui.showConsoleProgress", "false")
     )

@@ -105,3 +105,18 @@ def test_energy_deterministic(energy_index, spark):
          for r in energy_index.centroids.collect()}
     b = {(r["centroid_id"], r["n_members"]) for r in idx2.centroids.collect()}
     assert a == b
+
+
+def test_diffuse_tiers_agree(spark, test0_items_df, edges, monkeypatch):
+    """The broadcast tier (narrow-edge shuffle + broadcast X) and the
+    distributed tier (array-message dataflow) are physical plans for
+    the same operator; multi-step outputs must agree to fp noise."""
+    a = E.diffuse(test0_items_df, edges, eta=0.1, steps=3)
+    got_a = {r["item_id"]: np.array(r["features"]) for r in a.collect()}
+    # force the beyond-broadcast tier
+    monkeypatch.setattr(E, "DIFFUSE_BROADCAST_MAX_BYTES", 0)
+    b = E.diffuse(test0_items_df, edges, eta=0.1, steps=3)
+    got_b = {r["item_id"]: np.array(r["features"]) for r in b.collect()}
+    assert set(got_a) == set(got_b)
+    for i in got_a:
+        np.testing.assert_allclose(got_a[i], got_b[i], rtol=1e-9)
