@@ -65,8 +65,11 @@ DIFFUSE_BROADCAST_MAX_BYTES = int(
 
 
 def _edge_groups(n_edges: int) -> int:
-    """Kernel task count: ~400k edge rows per applyInPandas call."""
-    return int(min(4096, max(32, -(-n_edges // 400_000))))
+    """Kernel task count: ~200k edge rows per applyInPandas call — the
+    per-task working set is rows x F x 8 bytes (one gather, scaled in
+    place), so 200k rows at F=384 is ~600 MB, bounded under 32
+    concurrent local tasks plus the per-worker broadcast copy."""
+    return int(min(4096, max(32, -(-n_edges // 200_000))))
 
 
 def diffusion_step(
@@ -163,8 +166,9 @@ def _diffuse_broadcast(
                 w = pdf["weight"].to_numpy(np.float64)
                 order = np.argsort(dstv, kind="stable")
                 dsts, starts = np.unique(dstv[order], return_index=True)
-                nsum = np.add.reduceat(
-                    bX[src_pos[order]] * w[order][:, None], starts, axis=0)
+                contrib = bX[src_pos[order]]  # one rows x F copy
+                contrib *= w[order][:, None]  # scaled in place
+                nsum = np.add.reduceat(contrib, starts, axis=0)
                 degv = np.add.reduceat(w[order], starts)
                 dst_pos = np.searchsorted(bids, dsts)
                 newx = ((1.0 - _eta * degv)[:, None] * bX[dst_pos]
