@@ -304,20 +304,34 @@ def build_energy(
     with_c = indexed.join(assigned, "item_id")
 
     def _centroid_attrs(wc: DataFrame) -> DataFrame:
-        """Aggregate member attributes + member-mean centers per token."""
-        return wc.groupBy("centroid_id").agg(
-            F.count("*").alias("n_members"),
-            F.avg("lambda").alias("lambda_c"),
-            F.avg("e_raw").alias("e_c"),
-            F.stddev_pop("lambda").alias("disp_c"),
-        ).join(
-            wc.select("centroid_id",
-                      F.posexplode("features").alias("fi", "v"))
-            .groupBy("centroid_id", "fi").agg(F.avg("v").alias("m"))
+        """Scalar moments AND member-mean centers per token, one grouped
+        Arrow kernel: a single shuffle of (centroid_id, features, λ, e)
+        rows replaces the previous two aggregations (one of which
+        exploded N×F rows — 120M at the 313k ledger scale) plus their
+        join. Group size is members-per-token (~N/optical_tokens), so
+        per-call memory is members × F doubles."""
+
+        def _agg(pdf: pd.DataFrame) -> pd.DataFrame:
+            M = np.stack(pdf["features"].to_numpy()).astype(np.float64)
+            lam = pdf["lambda"].to_numpy(np.float64)
+            er = pdf["e_raw"].to_numpy(np.float64)
+            return pd.DataFrame({
+                "centroid_id": [int(pdf["centroid_id"].iloc[0])],
+                "n_members": [len(pdf)],
+                "lambda_c": [float(lam.mean())],
+                "e_c": [float(er.mean())],
+                "disp_c": [float(lam.std())],
+                "center": [M.mean(axis=0)],
+            })
+
+        return (
+            wc.select("centroid_id", "features", "lambda", "e_raw")
             .groupBy("centroid_id")
-            .agg(F.array_sort(F.collect_list(F.struct("fi", "m"))).alias("fm"))
-            .select("centroid_id", F.col("fm.m").alias("center")),
-            "centroid_id",
+            .applyInPandas(
+                _agg,
+                "centroid_id long, n_members long, lambda_c double, "
+                "e_c double, disp_c double, center array<double>",
+            )
         )
 
     centroids = _centroid_attrs(with_c)
