@@ -4,9 +4,9 @@ src/lib.rs:303-376; stage list doc src/lib.rs:305-318).
 Stages (Spark-first):
   1. λτ-graph (shared with the standard build).
   2. Heat diffusion G12: X ← X − η·L·X for `steps` iterations.
-     Distributed as posexplode(features) → edge join → groupBy(node,
-     feature) — a true dataflow formulation that scales with N×F;
-     `localCheckpoint` per step caps lineage (SURVEY §7.3 risk 1).
+     Driver tier (chunked numpy segment-sum) while X fits; array-
+     message dataflow tier beyond, `localCheckpoint` per step capping
+     lineage (SURVEY §7.3 risk 1). See `diffuse` for the tier split.
   3. Edge trim G13a: drop edges below the `trim_quantile` weight
      quantile.
   4. Optical-token compression G14: seeded KMeans to ~optical_tokens
@@ -51,25 +51,17 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
-# Broadcast-tier ceiling for the diffusion matrix: below this many f64
-# bytes (N x F x 8) the per-step X is shipped to the workers whole and
-# only the NARROW edge list shuffles. The first formulation of this
-# operator exploded features into (node, fi, v) rows and joined them to
-# the edges, i.e. an E x F-row shuffle per step — ~90 GB/step at
-# N=313k, F=384, which filled the bench host's disk. The fix is the
-# same asymmetry every broadcast join exploits: shuffle the small
-# narrow thing (edges, ~24 B/row), broadcast the big wide thing (X).
+# Driver-tier ceiling for the diffusion matrix: below this many f64
+# bytes (N x F x 8) the whole loop runs as chunked numpy on the driver
+# (the narrow edge list is a few % of X's size, so it fits whenever X
+# does). The first formulation of this operator exploded features into
+# (node, fi, v) rows and joined them to the edges — an E x F-row
+# shuffle per step, ~90 GB/step at N=313k, F=384, which filled the
+# bench host's disk. Beyond the ceiling, `diffusion_step` shuffles E
+# array-carrying rows per step instead.
 DIFFUSE_BROADCAST_MAX_BYTES = int(
     os.environ.get("SPARK_GRAFT_DIFFUSE_BCAST_MAX", str(4 * 1024**3))
 )
-
-
-def _edge_groups(n_edges: int) -> int:
-    """Kernel task count: ~200k edge rows per applyInPandas call — the
-    per-task working set is rows x F x 8 bytes (one gather, scaled in
-    place), so 200k rows at F=384 is ~600 MB, bounded under 32
-    concurrent local tasks plus the per-worker broadcast copy."""
-    return int(min(4096, max(32, -(-n_edges // 200_000))))
 
 
 def diffusion_step(
@@ -132,70 +124,65 @@ def diffusion_step(
     )
 
 
-def _diffuse_broadcast(
+def _diffuse_driver(
     items: DataFrame, edges: DataFrame, eta: float, steps: int,
     id_col: str, feat_col: str,
 ) -> DataFrame:
-    """Broadcast-X diffusion tier: X lives on the driver between steps
-    (same policy as the lambda_index driver/broadcast tiers), each step
-    broadcasts it whole and runs partition-local gather+segment-sum
-    numpy over hash-grouped NARROW edges — per-step shuffle is just the
-    ~24-byte edge rows, and the wide X never shuffles at all."""
+    """Driver-tier diffusion: X and the narrow edge list both fit on
+    the driver below the tier ceiling (same policy as lambda_index's
+    driver-BLAS tier), so the whole multi-step loop is chunked numpy
+    gather + segment-sum — no per-step broadcast/collect round trip.
+    A first cut of this tier round-tripped X through a distributed
+    kernel every step; the 1 GB broadcast + toPandas + re-stack per
+    step cost ~2 min/step at N=313k while the arithmetic itself is
+    ~20 s — the round trip WAS the cost, so it was removed."""
     spark = items.sparkSession
-    sc = spark.sparkContext
     # orderBy → ids ascending, so searchsorted is a valid id→row map
     # (edge endpoints come from these same items by construction).
     ids, X = collect_id_matrix(items.orderBy(id_col), id_col, feat_col)
-    both = _symmetrize(edges)
-    n_both = both.count()
-    both = both.withColumn(
-        "_g", F.pmod(F.xxhash64("dst"), F.lit(_edge_groups(n_both)))
-    ).persist()
-    schema = f"{id_col} long, {feat_col} array<double>"
-    try:
-        eta_f = float(eta)
-        for _ in range(int(steps)):
-            bc = sc.broadcast((ids, X))
-            _bc, _eta = bc, eta_f  # rebound per step; closed over below
-
-            def _step_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-                bids, bX = _bc.value
-                src_pos = np.searchsorted(
-                    bids, pdf["src"].to_numpy(np.int64))
-                dstv = pdf["dst"].to_numpy(np.int64)
-                w = pdf["weight"].to_numpy(np.float64)
-                order = np.argsort(dstv, kind="stable")
-                dsts, starts = np.unique(dstv[order], return_index=True)
-                contrib = bX[src_pos[order]]  # one rows x F copy
-                contrib *= w[order][:, None]  # scaled in place
-                nsum = np.add.reduceat(contrib, starts, axis=0)
-                degv = np.add.reduceat(w[order], starts)
-                dst_pos = np.searchsorted(bids, dsts)
-                newx = ((1.0 - _eta * degv)[:, None] * bX[dst_pos]
-                        + _eta * nsum)
-                return pd.DataFrame({id_col: dsts, feat_col: list(newx)})
-
-            touched = (
-                both.groupBy("_g")
-                .applyInPandas(_step_kernel, schema)
-                .toPandas()
-            )
-            pos = np.searchsorted(ids, touched[id_col].to_numpy(np.int64))
-            X = X.copy()  # isolated nodes keep their previous x
-            X[pos] = np.stack(touched[feat_col].to_numpy())
-            bc.unpersist(blocking=False)
-    finally:
-        both.unpersist()
+    epdf = _symmetrize(edges).toPandas()
+    src = np.searchsorted(ids, epdf["src"].to_numpy(np.int64))
+    dst = np.searchsorted(ids, epdf["dst"].to_numpy(np.int64))
+    w = epdf["weight"].to_numpy(np.float64)
+    del epdf
+    order = np.argsort(dst, kind="stable")
+    src, dst, w = src[order], dst[order], w[order]
+    udst, starts = np.unique(dst, return_index=True)
+    bounds = np.append(starts, len(dst))
+    deg = np.zeros(len(ids))
+    if len(udst):
+        deg[udst] = np.add.reduceat(w, starts)
+    eta_f = float(eta)
+    n_seg = len(udst)
+    for _ in range(int(steps)):
+        nsum = np.zeros_like(X)
+        i = 0
+        while i < n_seg:
+            # chunk whole dst-segments up to ~2M edges so the gathered
+            # contrib block stays a few GB regardless of corpus size
+            j = i + 1
+            while j < n_seg and bounds[j + 1] - bounds[i] < 2_000_000:
+                j += 1
+            lo, hi = int(bounds[i]), int(bounds[j])
+            contrib = X[src[lo:hi]]          # one chunk x F copy
+            contrib *= w[lo:hi, None]        # scaled in place
+            nsum[udst[i:j]] = np.add.reduceat(
+                contrib, starts[i:j] - lo, axis=0)
+            i = j
+        X = (1.0 - eta_f * deg)[:, None] * X + eta_f * nsum
     return spark.createDataFrame(
-        pd.DataFrame({id_col: ids, feat_col: list(X)}), schema=schema)
+        pd.DataFrame({id_col: ids, feat_col: list(X)}),
+        schema=f"{id_col} long, {feat_col} array<double>")
 
 
 def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
             id_col: str = "item_id", feat_col: str = "features") -> DataFrame:
     """G12 heat diffusion, `steps` iterations. Physical tiers:
 
-    - broadcast tier (N·F·8 ≤ DIFFUSE_BROADCAST_MAX_BYTES, default
-      4 GiB ≈ 1.4M items at F=384): narrow-edge shuffle + broadcast X.
+    - driver tier (N·F·8 ≤ DIFFUSE_BROADCAST_MAX_BYTES, default 4 GiB
+      ≈ 1.4M items at F=384): the whole loop is chunked numpy
+      gather/segment-sum on the driver — the narrow edge list is a few
+      % of X's size, so it fits whenever X does.
     - distributed tier beyond: per-step `diffusion_step` dataflow with
       array-carrying edge messages, lineage capped per step.
     """
@@ -204,7 +191,7 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
     nf = int(items.select(F.size(feat_col).alias("f")).first()["f"])
     n = items.count()
     if n * nf * 8 <= DIFFUSE_BROADCAST_MAX_BYTES:
-        return _diffuse_broadcast(items, edges, eta, steps, id_col, feat_col)
+        return _diffuse_driver(items, edges, eta, steps, id_col, feat_col)
     out = items.select(id_col, feat_col)
     for _ in range(int(steps)):
         out = diffusion_step(out, edges, eta, id_col, feat_col)
@@ -301,7 +288,9 @@ def build_energy(
         indexed.select("item_id", "features"), centers0,
         "features", "cells", n_probe=1,
     ).select("item_id", F.explode("cells").alias("centroid_id"))
-    with_c = indexed.join(assigned, "item_id")
+    # persisted: consumed by the first attrs pass, the split-member
+    # collect, and the reassignment scan
+    with_c = indexed.join(assigned, "item_id").persist()
 
     def _centroid_attrs(wc: DataFrame) -> DataFrame:
         """Scalar moments AND member-mean centers per token, one grouped
@@ -334,7 +323,7 @@ def build_energy(
             )
         )
 
-    centroids = _centroid_attrs(with_c)
+    centroids = _centroid_attrs(with_c).persist()
 
     # G13b: one bounded dispersion-split pass. Centroids above the
     # `split_quantile` of member-λ dispersion are split in two;
@@ -354,16 +343,33 @@ def build_energy(
             F.col("disp_c") > F.lit(float(split_cut))).collect()
     )
     if to_split:
+        # Batched split (round 5): the first cut looped per centroid —
+        # a full filter+collect per split plus an anti-join per split,
+        # then recomputed EVERY centroid's attributes; at N=313k that
+        # lineage chain was most of a 497 s materialize. Now: ONE
+        # capped member collect for all split tokens, driver-side
+        # SVD+Lloyd per token, ONE broadcast-join reassignment (members
+        # rank only their own parent's two children — the same
+        # (d², child_id) order as the oracle's reassign CTE), one
+        # anti-join, and attribute recompute for the children only.
         spark = items.sparkSession
+        wcap = Window.partitionBy("centroid_id").orderBy("item_id")
+        mem = (
+            with_c.filter(
+                F.col("centroid_id").isin([int(c) for c in to_split]))
+            .select("item_id", "centroid_id", "features")
+            .withColumn("_rn", F.row_number().over(wcap))
+            .filter(F.col("_rn") <= COMPRESS_MAX_TRAIN)
+            .drop("_rn")
+            .toPandas()
+        )
         next_id = k_tokens
+        child_rows: list[tuple[int, int, np.ndarray]] = []
         for cid in to_split:
-            sub = with_c.filter(F.col("centroid_id") == cid)
-            m_cap = deterministic_cap(sub.select("item_id", "features"),
-                                      "item_id", COMPRESS_MAX_TRAIN)
-            _, M = collect_id_matrix(m_cap.orderBy("item_id"),
-                                     "item_id", "features")
-            if len(M) < 2:
+            sub = mem[mem["centroid_id"] == cid].sort_values("item_id")
+            if len(sub) < 2:
                 continue
+            M = np.stack(sub["features"].to_numpy()).astype(np.float64)
             c = M.mean(axis=0)
             dev = M - c
             # dominant member direction (top right-singular vector),
@@ -378,20 +384,50 @@ def build_energy(
             tau_off = float(eparams.split_tau)
             init = np.stack([c + tau_off * u, c - tau_off * u])
             children = lloyd_kmeans(M, 2, init=init, iters=10)
-            re = ivf_assign(sub.select("item_id", "features"), children,
-                            "features", "cells", n_probe=1).select(
-                "item_id", F.explode("cells").alias("child")
-            ).select(
-                "item_id",
-                (F.col("child") + F.lit(next_id)).alias("centroid_id"),
+            child_rows.append((int(cid), int(next_id), children[0]))
+            child_rows.append((int(cid), int(next_id) + 1, children[1]))
+            next_id += 2
+        if child_rows:
+            cdf = spark.createDataFrame(
+                pd.DataFrame({
+                    "centroid_id": [r[0] for r in child_rows],
+                    "child_id": [r[1] for r in child_rows],
+                    "c": [np.asarray(r[2], np.float64) for r in child_rows],
+                }),
+                schema="centroid_id long, child_id long, c array<double>")
+
+            def _dot(a, b):
+                return F.aggregate(
+                    F.zip_with(a, b, lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, v: acc + v)
+
+            split_ids = sorted({r[0] for r in child_rows})
+            wre = Window.partitionBy("item_id").orderBy(
+                F.col("_d2").asc(), F.col("child_id").asc())
+            reassigned = (
+                with_c.filter(F.col("centroid_id").isin(split_ids))
+                .select("item_id", "centroid_id", "features")
+                .join(F.broadcast(cdf), "centroid_id")
+                .withColumn(
+                    "_d2",
+                    _dot("features", "features")
+                    - 2.0 * _dot("features", "c") + _dot("c", "c"))
+                .withColumn("_rn", F.row_number().over(wre))
+                .filter(F.col("_rn") == 1)
+                .select("item_id", F.col("child_id").alias("centroid_id"))
             )
             assigned = (
-                assigned.join(re.select("item_id"), "item_id", "left_anti")
-                .unionAll(re)
+                assigned.join(reassigned.select("item_id"),
+                              "item_id", "left_anti")
+                .unionAll(reassigned)
             )
-            next_id += 2
-        with_c = indexed.join(assigned, "item_id")
-        centroids = _centroid_attrs(with_c)
+            with_c = indexed.join(assigned, "item_id")
+            child_attrs = _centroid_attrs(
+                with_c.filter(F.col("centroid_id") >= F.lit(k_tokens)))
+            centroids = (
+                centroids.filter(~F.col("centroid_id").isin(split_ids))
+                .unionByName(child_attrs)
+            )
 
     return EnergyIndex(
         # persisted: every consumer (search member rescore, centroid

@@ -187,3 +187,16 @@ def test_search_ann_agrees_with_exact_on_hits(spark):
     assert 7 in a and a[7] == pytest.approx(e[7], rel=1e-12)
     for item, s in a.items():     # every candidate scored identically
         assert s == pytest.approx(e.get(item, s), rel=1e-12)
+
+
+def test_auto_lsh_tables_schedule():
+    """Pin the recall-targeted table rule: the calibrated design point
+    (b=10, p_bit=0.82) needs 6 tables for a 0.95 target, never fewer
+    than the default 4, and the count is monotone in the target."""
+    from pyarrowspace_spark.operators.simsearch import (DEFAULT_N_TABLES,
+                                                        auto_lsh_tables)
+
+    assert auto_lsh_tables(10, target_recall=0.95) == 6
+    assert auto_lsh_tables(10, target_recall=0.5) >= DEFAULT_N_TABLES
+    assert (auto_lsh_tables(10, target_recall=0.99)
+            >= auto_lsh_tables(10, target_recall=0.9))
