@@ -90,6 +90,15 @@ def main() -> None:
     # average at start and end so every artifact carries its own
     # validity context instead of tribal knowledge.
     extra["loadavg_start"] = [round(v, 2) for v in os.getloadavg()]
+    # Host memory-WRITE bandwidth probe: cross-round comparisons were
+    # confounded a second way — a degraded-VM day measured memcpy at
+    # 0.1 GB/s (reads a healthy 11 GB/s), inflating every allocation-
+    # heavy phase ~40% with zero code change. 100 MB copy, ~1 s worst.
+    _buf = np.random.standard_normal(100_000_000 // 8)
+    _t0 = time.time()
+    _buf2 = _buf.copy()
+    extra["host_memcpy_gbps"] = round(0.1 / max(time.time() - _t0, 1e-9), 2)
+    del _buf, _buf2
 
     def timed(name, fn):
         t0 = time.time()
