@@ -648,12 +648,13 @@ def q_energy_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heat-diffusion smoothing x ← x − η·L·x, 2 steps (SURVEY §2 G12)
     — oracle-checked as exploded (item, feature_idx, value) rows."""
     from pyarrowspace_spark.operators import energy as E
-    from pyarrowspace_spark.operators import knn as KNN2
 
     items = _items(spark, sf_dir).select("item_id", "features")
-    params = GraphParams(eps=KNN_EPS, k=KNN_K, topk=TOPK, p=KNN_P,
-                         sigma=KNN_SIGMA)
-    edges = KNN2.knn_edges(items, params, strategy="exact")
+    # The shared index's edges are built with the SAME params over the
+    # same corpus; rectified-cosine distance is invariant to the
+    # builder's unit-norm step, so they are value-identical to an
+    # exact knn_edges over raw features — reuse instead of rebuilding.
+    edges = _knn_edges_df(spark, sf_dir)
     out = E.diffuse(items, edges, DIFF_ETA, DIFF_STEPS)
     return out.select(
         "item_id", F.posexplode("features").alias("fi", "v")
@@ -681,16 +682,22 @@ def q_energy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                      trim_quantile=0.1),
         GraphParams(eps=KNN_EPS, k=KNN_K, topk=TOPK, p=KNN_P,
                     sigma=KNN_SIGMA),
+        # same-params shared edges (rectified cosine is unit-norm
+        # invariant, see q_energy_diffusion) — one graph build, two
+        # indexes, the real-pipeline shape
+        edges=_knn_edges_df(spark, sf_dir),
     )
-    qrows = idx.items.filter(F.col("item_id").isin(list(LAMBDA_QIDS))).collect()
-    out = None
-    for r in sorted(qrows, key=lambda r: r["item_id"]):
-        hits = E.search_energy(idx, np.array(r["features"]), k=TOPK)
-        hits = hits.select(F.lit(r["item_id"]).alias("query_id"),
-                           "item_id", "rank", F.round("score", 5).alias("score_r"))
-        out = hits if out is None else out.unionAll(hits)
+    qrows = sorted(
+        idx.items.filter(F.col("item_id").isin(list(LAMBDA_QIDS))).collect(),
+        key=lambda r: r["item_id"])
+    # batched: all queries in ONE plan (one shortlist window + one
+    # member rescore), not a per-query union loop (r5 brief #4)
+    qmat = np.array([r["features"] for r in qrows])
+    out = E.search_energy(idx, qmat, k=TOPK,
+                          query_ids=[int(r["item_id"]) for r in qrows])
     return out.select("query_id", "item_id",
-                      F.col("rank").cast("long").alias("rank"), "score_r")
+                      F.col("rank").cast("long").alias("rank"),
+                      F.round("score", 5).alias("score_r"))
 
 
 PPR_ALPHA = 0.85

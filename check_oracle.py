@@ -2,7 +2,12 @@
 ``queries()`` entry on Spark at sf0.01 and its ``oracle_sql()`` twin on
 DuckDB; compare row count, column names, and order-insensitive values.
 
-Usage: python check_oracle.py [sf_dir] [query ...]
+Usage: python check_oracle.py [--no-arrow] [sf_dir] [query ...]
+
+``--no-arrow`` disables ``spark.sql.execution.arrow.pyspark.enabled``
+for the whole run — the DRIVER's session does not enable Arrow, and the
+round-5 regression (numpy float64 rejected by the non-Arrow
+createDataFrame verifier) was invisible to an Arrow-on local gate.
 """
 
 from __future__ import annotations
@@ -33,9 +38,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--no-arrow"]
+    no_arrow = len(argv) != len(sys.argv) - 1
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("oracle-check", shuffle_partitions=8)
+    if no_arrow:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -15,6 +15,11 @@ no densification assumption.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+
 import numpy as np
 from pyspark.sql import DataFrame
 
@@ -27,6 +32,68 @@ def collect_id_matrix(
     ids = pdf[id_col].to_numpy(dtype=np.int64)
     X = np.stack(pdf[feat_col].to_numpy()).astype(np.float64)
     return ids, X
+
+
+# Scratch dirs from matrix_to_frame, removed at interpreter exit. The
+# frames returned from them are lazy parquet scans, so the files must
+# outlive any point where Spark may (re)materialize the plan — session
+# lifetime is the only safe bound.
+_SCRATCH_DIRS: list[str] = []
+
+
+def _cleanup_scratch() -> None:
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_scratch)
+
+
+def matrix_to_frame(
+    spark, ids: np.ndarray, X: np.ndarray,
+    id_col: str = "item_id", feat_col: str = "features",
+) -> DataFrame:
+    """Driver-resident (ids, X) matrix → DataFrame[id long, feat
+    array<double>] WITHOUT embedding the data in task binaries.
+
+    `spark.createDataFrame` on a large local matrix ships every
+    partition inside its task (12 MB task-size warnings at N=78k,
+    F=384; fully pickled rows under a non-Arrow session — and numpy
+    float64 elements are REJECTED by the non-Arrow type verifier, the
+    round-5 driver regression). Instead the matrix is written once to
+    a scratch parquet via pyarrow (zero-copy from the flat buffer) and
+    handed to Spark as an ordinary distributed scan: splittable,
+    column-pruned, identical under any session config.
+
+    Scratch location: `$SPARK_GRAFT_SCRATCH_DIR` if set, else the
+    system temp dir. On a multi-node cluster point it at storage the
+    executors share (HDFS/NFS mount); in local mode any tmp works.
+    Falls back to a pure-python `createDataFrame` if the write fails.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    n, f = X.shape
+    schema = f"{id_col} long, {feat_col} array<double>"
+    try:
+        base = os.environ.get("SPARK_GRAFT_SCRATCH_DIR") or None
+        d = tempfile.mkdtemp(prefix="pyarrowspace-matrix-", dir=base)
+        _SCRATCH_DIRS.append(d)
+        offsets = pa.array(np.arange(0, (n + 1) * f, f, dtype=np.int64),
+                           type=pa.int64())
+        feats = pa.LargeListArray.from_arrays(
+            offsets, pa.array(X.reshape(-1), type=pa.float64()))
+        tbl = pa.table({id_col: pa.array(ids), feat_col: feats})
+        # ~32k rows/group → plenty of split points for the scan
+        pq.write_table(tbl, os.path.join(d, "part-0.parquet"),
+                       row_group_size=32768)
+        return spark.read.schema(schema).parquet(d)
+    except Exception:  # pragma: no cover - scratch dir unavailable
+        return spark.createDataFrame(
+            [(int(i), [float(v) for v in row]) for i, row in zip(ids, X)],
+            schema=schema)
 
 
 def sorted_index(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -32,7 +32,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.matrix import collect_id_matrix
+from ..functions.matrix import (
+    collect_id_matrix,
+    matrix_to_frame,
+    positions_of,
+    sorted_index,
+)
 from ..params import EnergyParams, GraphParams
 from . import knn as knn_ops
 from . import lambda_index as lam_ops
@@ -144,12 +149,16 @@ def _diffuse_driver(
     step cost ~2 min/step at N=313k while the arithmetic itself is
     ~20 s — the round trip WAS the cost, so it was removed."""
     spark = items.sparkSession
-    # orderBy → ids ascending, so searchsorted is a valid id→row map
-    # (edge endpoints come from these same items by construction).
     ids, X = collect_id_matrix(items.orderBy(id_col), id_col, feat_col)
     epdf = _symmetrize(edges).toPandas()
-    src = np.searchsorted(ids, epdf["src"].to_numpy(np.int64))
-    dst = np.searchsorted(ids, epdf["dst"].to_numpy(np.int64))
+    # positions_of raises KeyError on any edge endpoint absent from
+    # items — `diffuse` is a public operator, so the "endpoints come
+    # from these items" guarantee only holds for build_energy's
+    # internal call; a bare searchsorted would silently gather the
+    # WRONG row and corrupt every step (ADVICE r5).
+    sids, order = sorted_index(ids)
+    src = positions_of(epdf["src"].to_numpy(np.int64), sids, order)
+    dst = positions_of(epdf["dst"].to_numpy(np.int64), sids, order)
     w = epdf["weight"].to_numpy(np.float64)
     del epdf
     order = np.argsort(dst, kind="stable")
@@ -175,9 +184,12 @@ def _diffuse_driver(
             s, e = bounds[i], bounds[i + 1]
             nsum[udst[i]] = w[s:e] @ X[src[s:e]]
         X = (1.0 - eta_f * deg)[:, None] * X + eta_f * nsum
-    return spark.createDataFrame(
-        pd.DataFrame({id_col: ids, feat_col: list(X)}),
-        schema=f"{id_col} long, {feat_col} array<double>")
+    # Hand the diffused matrix back as a parquet scan, NOT a
+    # createDataFrame: the latter embeds X in task binaries (12 MB
+    # task-size warnings at 78k×384) and — under a non-Arrow session
+    # like the driver's — feeds numpy float64 to the row verifier,
+    # which rejects it (the round-5 CORRECTNESS regression).
+    return matrix_to_frame(spark, ids, X, id_col, feat_col)
 
 
 def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
@@ -193,7 +205,10 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
     """
     if int(steps) <= 0:
         return items.select(id_col, feat_col)
-    nf = int(items.select(F.size(feat_col).alias("f")).first()["f"])
+    row = items.select(F.size(feat_col).alias("f")).first()
+    if row is None:  # empty corpus: diffusion is the identity
+        return items.select(id_col, feat_col)
+    nf = int(row["f"])
     n = items.count()
     if n * nf * 8 <= DIFFUSE_BROADCAST_MAX_BYTES:
         return _diffuse_driver(items, edges, eta, steps, id_col, feat_col)
@@ -240,19 +255,32 @@ def build_energy(
     gparams: GraphParams,
     id_col: str = "item_id",
     feat_col: str = "features",
+    edges: DataFrame | None = None,
 ) -> EnergyIndex:
+    """Energy pipeline build. Pass `edges` to reuse an already-built
+    λτ-graph (e.g. `ArrowSpaceIndex.edges` from the standard build over
+    the SAME items/params): a real pipeline building both indexes from
+    one corpus runs the expensive graph build once, not twice."""
     base = items.select(F.col(id_col).alias("item_id"),
                         F.col(feat_col).alias("features")).persist()
     first = base.select(F.size("features").alias("n")).first()
     n_features = int(first["n"])
 
-    edges = knn_ops.knn_edges(base, gparams).persist()
+    if edges is None:
+        edges = knn_ops.knn_edges(base, gparams).persist()
+    else:
+        # caller-owned frame (usually already persisted by the standard
+        # build) — re-persisting it would double-cache the same plan
+        edges = edges.select("src", "dst", "weight")
 
-    # G12: diffusion smoothing.
-    diffused = diffuse(base, edges, eparams.eta, eparams.steps).persist()
-
-    # G13a: trim weak edges before energy attribution.
+    # G13a trim cut FIRST: its percentile scan is the first action on
+    # the persisted edges, so one job both materializes the edge cache
+    # and returns the cut (previously a separate collect after diffuse
+    # had already materialized the cache — one job saved, r5 brief #7).
     kept_edges = trim_edges(edges, eparams.trim_quantile).persist()
+
+    # G12: diffusion smoothing (reads the now-cached edges).
+    diffused = diffuse(base, edges, eparams.eta, eparams.steps).persist()
 
     # λ/e on the *diffused* space — one kernel pass for the
     # τ-independent components, τ-synthesis + blend JVM-side (same
@@ -339,14 +367,16 @@ def build_energy(
     # deterministic init. (Earlier rounds misused split_tau as a
     # threshold offset, which *suppressed* splits as it grew —
     # ADVICE r2 item 5.)
-    split_cut = centroids.select(
-        F.expr(f"percentile(disp_c, {float(eparams.split_quantile)})").alias("c")
-    ).collect()[0]["c"]
+    # One collect of the (≤ ~2·optical_tokens row) centroid table
+    # replaces the previous percentile job + filter collect; the cut
+    # uses np.percentile's linear interpolation — bit-identical to
+    # Spark's exact `percentile`, which the oracle replays.
+    crows = centroids.select("centroid_id", "disp_c").collect()
+    split_cut = float(np.percentile(
+        np.array([r["disp_c"] for r in crows], dtype=np.float64),
+        100.0 * float(eparams.split_quantile)))
     to_split = sorted(
-        r["centroid_id"]
-        for r in centroids.filter(
-            F.col("disp_c") > F.lit(float(split_cut))).collect()
-    )
+        int(r["centroid_id"]) for r in crows if r["disp_c"] > split_cut)
     if to_split:
         # Batched split (round 5): the first cut looped per centroid —
         # a full filter+collect per split plus an anti-join per split,
@@ -358,7 +388,12 @@ def build_energy(
         # (d², child_id) order as the oracle's reassign CTE), one
         # anti-join, and attribute recompute for the children only.
         spark = items.sparkSession
-        wcap = Window.partitionBy("centroid_id").orderBy("item_id")
+        # Cap order = xxhash64(item_id): when a split token exceeds
+        # COMPRESS_MAX_TRAIN the training sample is a deterministic
+        # but UNBIASED hash sample (same policy as deterministic_cap),
+        # not the insertion-ordered first-100k-by-id (ADVICE r5).
+        wcap = Window.partitionBy("centroid_id").orderBy(
+            F.xxhash64("item_id"), "item_id")
         mem = (
             with_c.filter(
                 F.col("centroid_id").isin([int(c) for c in to_split]))
@@ -393,12 +428,11 @@ def build_energy(
             child_rows.append((int(cid), int(next_id) + 1, children[1]))
             next_id += 2
         if child_rows:
+            # pure-python rows: numpy float64 elements are rejected by
+            # the non-Arrow session verifier (round-5 driver regression)
             cdf = spark.createDataFrame(
-                pd.DataFrame({
-                    "centroid_id": [r[0] for r in child_rows],
-                    "child_id": [r[1] for r in child_rows],
-                    "c": [np.asarray(r[2], np.float64) for r in child_rows],
-                }),
+                [(int(r[0]), int(r[1]), [float(v) for v in r[2]])
+                 for r in child_rows],
                 schema="centroid_id long, child_id long, c array<double>")
 
             def _dot(a, b):
@@ -426,6 +460,7 @@ def build_energy(
                               "item_id", "left_anti")
                 .unionAll(reassigned)
             )
+            with_c0 = with_c
             with_c = indexed.join(assigned, "item_id")
             child_attrs = _centroid_attrs(
                 with_c.filter(F.col("centroid_id") >= F.lit(k_tokens)))
@@ -433,6 +468,11 @@ def build_energy(
                 centroids.filter(~F.col("centroid_id").isin(split_ids))
                 .unionByName(child_attrs)
             )
+            # the pre-split assignment cache is dead now (its surviving
+            # consumers — centroids rows, the crows collect — are
+            # already materialized); without this it holds executor
+            # storage for the index lifetime (ADVICE r5)
+            with_c0.unpersist()
 
     return EnergyIndex(
         # persisted: every consumer (search member rescore, centroid
@@ -454,19 +494,32 @@ def search_energy(
     k: int,
     w_lambda: float = 1.0,
     w_dirichlet: float = 0.5,
+    query_ids: "list[int] | None" = None,
 ) -> DataFrame:
     """Cosine-free energy search (reference src/lib.rs:232-262):
     shortlist `candidate_m` centroids by energy score, exact-rescore
     their members, top-k. Returns DataFrame[query_id, item_id, score,
-    rank]."""
+    rank].
+
+    Batch-first (engine convention, parity-plus vs the reference's
+    single-vector API): `query` may be an (M, F) matrix — all M
+    queries run as ONE plan (one broadcast of the M-row query frame,
+    one shortlist window, one member rescore), not M separate jobs.
+    `query_ids` labels the output rows (default 0..M-1)."""
     q = np.atleast_2d(np.asarray(query, dtype=np.float64))
     lf = index.feature_laplacian
     if q.shape[1] != lf.shape[0]:
         raise ValueError(f"query has {q.shape[1]} features, index has {lf.shape[0]}")
+    if query_ids is None:
+        query_ids = list(range(q.shape[0]))
+    if len(query_ids) != q.shape[0]:
+        raise ValueError(
+            f"{len(query_ids)} query_ids for {q.shape[0]} queries")
     e_raw, _, s_val = lam_ops._lambda_kernel(q, lf, index.tau_synth)
     spark = index.items.sparkSession
     qdf = spark.createDataFrame(
-        [(int(i), float(s), float(e)) for i, (s, e) in enumerate(zip(s_val, e_raw))],
+        [(int(qid), float(s), float(e))
+         for qid, s, e in zip(query_ids, s_val, e_raw)],
         schema="query_id long, q_lambda double, q_e double",
     )
     cand_m = int(index.energy_params.candidate_m)

@@ -1,0 +1,94 @@
+"""Round-6 contract fixes: diffuse input validation (ADVICE r5),
+empty-corpus diffusion, batched search_energy, and λτ-graph reuse
+between the standard and energy builds."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyarrowspace_spark.operators import energy as E
+from pyarrowspace_spark.operators import knn as KNN
+from pyarrowspace_spark.params import EnergyParams, GraphParams
+
+GP = GraphParams(eps=0.9, k=4, topk=5, p=2.0)
+EP = EnergyParams(optical_tokens=3, eta=0.05, steps=2, trim_quantile=0.1)
+
+
+def _edges_of(spark, items_df):
+    return KNN.knn_edges(items_df, GP, strategy="exact")
+
+
+def test_diffuse_rejects_alien_edge_ids(spark, test0_items_df):
+    """diffuse is a public operator: an edge endpoint absent from the
+    items must raise KeyError (positions_of), never silently gather the
+    wrong row (ADVICE r5 medium — bare searchsorted did exactly that)."""
+    edges = spark.createDataFrame(
+        [(0, 999, 0.5)], schema="src long, dst long, weight double")
+    with pytest.raises(KeyError, match="absent"):
+        E.diffuse(test0_items_df, edges, eta=0.05, steps=1).collect()
+
+
+def test_diffuse_empty_items_is_identity(spark):
+    """steps>0 over an empty corpus returns an empty frame instead of
+    crashing on first() -> None (ADVICE r5 low)."""
+    items = spark.createDataFrame([], schema="item_id long, features array<double>")
+    edges = spark.createDataFrame([], schema="src long, dst long, weight double")
+    out = E.diffuse(items, edges, eta=0.05, steps=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["item_id", "features"]
+
+
+def test_diffuse_driver_tier_returns_scan_not_tasks(spark, test0_items_df):
+    """The driver tier hands X back as a parquet scan (matrix_to_frame)
+    — the plan must contain a FileScan, not a driver-parallelized
+    LocalTableScan whose tasks embed the matrix."""
+    edges = _edges_of(spark, test0_items_df)
+    out = E.diffuse(test0_items_df, edges, eta=0.05, steps=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan or "FileScan" in plan
+
+
+def test_search_energy_batch_equals_per_query(spark, test0_items_df):
+    """An (M, F) query matrix in ONE call returns exactly the union of
+    the M single-vector calls, with caller-supplied query ids."""
+    idx = E.build_energy(test0_items_df, EP, GP)
+    feats = {r["item_id"]: np.array(r["features"])
+             for r in idx.items.select("item_id", "features").collect()}
+    qids = [1, 3]
+    qmat = np.stack([feats[q] for q in qids])
+    batched = {
+        (r["query_id"], r["item_id"], r["rank"], round(r["score"], 9))
+        for r in E.search_energy(idx, qmat, k=3, query_ids=qids).collect()
+    }
+    single = set()
+    for q in qids:
+        for r in E.search_energy(idx, feats[q], k=3).collect():
+            single.add((q, r["item_id"], r["rank"], round(r["score"], 9)))
+    assert batched == single
+    with pytest.raises(ValueError, match="query_ids"):
+        E.search_energy(idx, qmat, k=3, query_ids=[1])
+
+
+def test_build_energy_reuses_external_edges(spark, test0_items_df):
+    """build_energy(edges=precomputed) must produce the identical index
+    to the internal graph build — the bench/catalog share one λτ-graph
+    between the standard and energy indexes on this contract."""
+    idx_a = E.build_energy(test0_items_df, EP, GP)
+    pre = _edges_of(spark, test0_items_df)
+    idx_b = E.build_energy(test0_items_df, EP, GP, edges=pre)
+
+    def _sig(idx):
+        items = {
+            (r["item_id"], round(r["lambda"], 9), round(r["e_raw"], 9),
+             r["centroid_id"])
+            for r in idx.items.select(
+                "item_id", "lambda", "e_raw", "centroid_id").collect()
+        }
+        cents = {
+            (r["centroid_id"], r["n_members"], round(r["lambda_c"], 9))
+            for r in idx.centroids.select(
+                "centroid_id", "n_members", "lambda_c").collect()
+        }
+        return items, cents
+
+    assert _sig(idx_a) == _sig(idx_b)
