@@ -201,9 +201,11 @@ def main() -> None:
                                                             lsh_hyperplanes,
                                                             with_lsh_buckets)
 
-        # recall-targeted table count (fixed 4 tables measured 0.896
-        # recall@15 at N=313k — under the 0.9 contract)
-        n_tables = auto_lsh_tables(n_planes=10, target_recall=0.95)
+        # recall-targeted table count, corpus-size-aware (fixed 4
+        # tables measured 0.896 recall@15 at N=313k — under the 0.9
+        # contract; a fixed 6 over-probes below the calibration scale)
+        n_tables = auto_lsh_tables(n_planes=10, target_recall=0.95,
+                                   n_items=scale_n)
         extra["ann_n_tables"] = n_tables
         planes = lsh_hyperplanes(384, n_tables=n_tables, n_planes=10)
         hashed = with_lsh_buckets(

@@ -164,7 +164,7 @@ class ArrowSpaceBuilder:
     @staticmethod
     def build(
         items: DataFrame,
-        graph_params: dict | GraphParams,
+        graph_params: "dict | GraphParams | str",
         id_col: str = "item_id",
         feat_col: str = "features",
         strategy: str = "auto",
@@ -196,11 +196,23 @@ class ArrowSpaceBuilder:
         log showing no reduction variant reproduces the reference's
         τ=0.6/0.55 golden — so we surface the hook without pretending to
         replicate its exact numerics."""
-        params = (
-            graph_params
-            if isinstance(graph_params, GraphParams)
-            else GraphParams.from_dict(graph_params)
-        )
+        if isinstance(graph_params, str):
+            # Self-tuning build (reference runs auto-K + eps suggestion
+            # INSIDE the build, log suggested_eps.md:7-12): k from the
+            # connectivity rule, eps calibrated on a bounded sample of
+            # the engine's own distance — see dimred.auto_graph_params.
+            if graph_params != "auto":
+                raise ValueError(
+                    f"graph_params must be a dict, GraphParams, or "
+                    f"'auto' (got {graph_params!r})")
+            from .operators.dimred import auto_graph_params
+
+            params = auto_graph_params(items, id_col, feat_col)
+            debug_print(f"auto graph params: {params.to_dict()}")
+        elif isinstance(graph_params, GraphParams):
+            params = graph_params
+        else:
+            params = GraphParams.from_dict(graph_params)
         # Validate rectangularity once (reference rejects empty/ragged,
         # src/helpers.rs:24-29). `first` touches one partition only.
         first = items.select(F.size(feat_col).alias("n")).first()

@@ -207,3 +207,55 @@ def auto_k_estimate(n_items: int, id_mle: float) -> int:
     [2, N//2]. Grows with both corpus size and intrinsic dimension."""
     k = int(math.ceil(math.sqrt(max(n_items, 1) * max(id_mle, 1.0))))
     return max(2, min(k, max(2, n_items // 2)))
+
+
+def auto_graph_params(
+    items: DataFrame,
+    id_col: str = "item_id",
+    feat_col: str = "features",
+    max_rows: int = 2048,
+    eps_quantile: float = 0.9,
+    margin: float = 1.10,
+    n_rows: int | None = None,
+):
+    """Self-tuning graph parameters for `ArrowSpaceBuilder.build(...,
+    graph_params='auto')` — the reference's in-build "Auto-computing
+    optimal clustering parameters" stage (log
+    tests/output/1760705545_v0_16/suggested_eps.md:7-12), which runs
+    auto-K + eps suggestion and then an unpublished "calibration with
+    practical scaling" (0.0175 theory → 1.31 applied in that log).
+
+    Our pinned calibration (the crate's is a spec gap, SURVEY §2.11) is
+    measurement, not scaling magic: k comes from the connectivity rule
+    k = round(2·ln n) (`suggest_graph_params`), and eps is calibrated
+    to the ENGINE'S OWN distance — the rectified-cosine k-th-neighbor
+    distance distribution of a deterministic ≤`max_rows` sample, taken
+    at `eps_quantile` with a `margin` headroom, clamped to (0, 1].
+    Sample-vs-sample neighbors are farther than corpus neighbors, so
+    the estimate is biased LOOSE — safe: eps is only the sparsity cut,
+    the per-node top-k cap still bounds degree. σ keeps the binding's
+    eps·0.5 default. Driver cost is one max_rows² gemm (~32 MB at the
+    2048 default), independent of N.
+    """
+    from ..functions.matrix import collect_id_matrix
+    from ..params import GraphParams
+    from .simsearch import deterministic_cap
+
+    sugg = suggest_graph_params(items, id_col, feat_col,
+                                max_rows=max_rows).first()
+    k = max(2, int(sugg["k_rec"]))
+    sample = deterministic_cap(items.select(id_col, feat_col), id_col,
+                               max_rows, n_rows=n_rows)
+    _, X = collect_id_matrix(sample, id_col, feat_col)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    U = X / np.where(norms > 0, norms, 1.0)
+    D = 1.0 - np.maximum(U @ U.T, 0.0)   # rectified cosine distance
+    np.fill_diagonal(D, np.inf)
+    kk = min(k, D.shape[0] - 1)
+    if kk < 1:
+        raise ValueError("auto graph params need at least 2 items")
+    dk = np.partition(D, kk - 1, axis=1)[:, kk - 1]
+    dk = dk[np.isfinite(dk)]
+    eps = float(np.quantile(dk, float(eps_quantile))) * float(margin)
+    eps = float(min(1.0, max(eps, 1e-6)))
+    return GraphParams(eps=eps, k=k, topk=k, p=2.0)

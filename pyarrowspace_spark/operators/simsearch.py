@@ -33,31 +33,60 @@ def lsh_hyperplanes(dim: int, n_tables: int = DEFAULT_N_TABLES,
     return rng.standard_normal((n_tables, n_planes, dim))
 
 
+# auto_lsh_tables p_bit calibration (measured recall@15 of `search_ann`
+# vs exact `search`, 4 tables × 10 planes, Hamming-1 probing, inverted
+# through the hit model below): 0.9387 at N=78,580 → p_bit ≈ 0.838;
+# 0.8960 at N=313,841 → p_bit ≈ 0.818. Linear-in-ln(N) between/beyond.
+_PBIT_ANCHOR_N = 313_841.0
+_PBIT_ANCHOR = 0.818
+_PBIT_PER_NAT = 0.0145  # (0.838-0.818)/ln(313841/78580)
+
+
 def auto_lsh_tables(n_planes: int, target_recall: float = 0.95,
-                    p_bit: float = 0.82) -> int:
+                    n_items: int | None = None,
+                    p_bit: float | None = None,
+                    max_tables: int = 32) -> int:
     """Recall-targeted table count for sign-LSH top-k search — the
     query-side twin of the graph build's `auto_lsh_bands` rule: a
     FIXED table count silently decays as corpora grow (measured
-    recall@15 of `search_ann` vs exact `search` at 4 tables x 10
-    planes with Hamming-1 probing: 0.9387 at N=78,580 → 0.8960 at
-    N=313,841).
+    recall@15 at 4 tables x 10 planes with Hamming-1 probing: 0.9387
+    at N=78,580 → 0.8960 at N=313,841).
 
-    Model: a true neighbor agrees with the query on one sign bit with
-    probability `p_bit` (calibrated 0.82 from the N=313k design point
-    above); with Hamming-1 probing a table hits when ≥ bits-1 bits
-    agree, p1 = p^b + b·p^(b-1)·(1-p), and tables are independent, so
-    tables ≥ ln(1-target) / ln(1-p1). At b=10, target 0.95 this gives
-    6 tables (predicted recall ≈ 0.97 at N=313k) for 1.5x the probe
-    cost — preferred over Hamming-2 probing, whose 56-probe fanout
-    costs ~5x for the same target.
+    Pass `n_items` so the decay itself scales: p_bit — the chance a
+    true neighbor agrees with the query on one sign bit — was a FIXED
+    0.82 calibrated at N=313k, so the function returned the same 6
+    tables at every corpus size and the target was only honored up to
+    the calibration point (ADVICE r5). Now p_bit extrapolates the two
+    measured design points linearly in ln N (see module constants),
+    clamped to [0.55, 0.95]; an explicitly passed `p_bit` (e.g. a
+    fresh measurement on the actual corpus) overrides the model.
+
+    Hit model: with Hamming-1 probing a table hits when ≥ bits-1 bits
+    agree, p1 = p^b + b·p^(b-1)·(1-p); tables are independent, so
+    tables ≥ ln(1-target) / ln(1-p1). At b=10, target 0.95, N=313k
+    this gives 6 tables (predicted ≈ 0.97, measured 0.9773) for 1.5x
+    the probe cost — preferred over Hamming-2 probing, whose 56-probe
+    fanout costs ~5x for the same target. `max_tables` caps the
+    schedule so a pessimal extrapolation degrades gracefully instead
+    of exploding the hash/candidate cost.
     """
     b = int(n_planes)
-    p = float(p_bit)
+    if p_bit is not None:
+        p = float(p_bit)
+    elif n_items is not None and n_items > 0:
+        p = _PBIT_ANCHOR - _PBIT_PER_NAT * float(
+            np.log(float(n_items) / _PBIT_ANCHOR_N))
+        p = float(np.clip(p, 0.55, 0.95))
+    else:
+        # no corpus-size information: the 313k calibration point —
+        # guaranteed only up to that scale
+        p = _PBIT_ANCHOR
     p1 = p ** b + b * p ** (b - 1) * (1.0 - p)
     if not (0.0 < p1 < 1.0):
         return DEFAULT_N_TABLES
     need = np.log(max(1.0 - float(target_recall), 1e-12)) / np.log(1.0 - p1)
-    return int(max(DEFAULT_N_TABLES, int(np.ceil(need))))
+    return int(min(int(max_tables),
+                   max(DEFAULT_N_TABLES, int(np.ceil(need)))))
 
 
 def planes_fingerprint(planes: np.ndarray) -> int:

@@ -200,3 +200,15 @@ def test_auto_lsh_tables_schedule():
     assert auto_lsh_tables(10, target_recall=0.5) >= DEFAULT_N_TABLES
     assert (auto_lsh_tables(10, target_recall=0.99)
             >= auto_lsh_tables(10, target_recall=0.9))
+    # corpus-size aware (ADVICE r5): the two measured design points
+    # reproduce, the count is monotone non-decreasing in N beyond the
+    # calibration scale (p_bit decays with ln N), and the cap holds.
+    assert auto_lsh_tables(10, 0.95, n_items=313_841) == 6
+    assert auto_lsh_tables(10, 0.95, n_items=78_580) == 5
+    for lo, hi in [(78_580, 313_841), (313_841, 10_000_000),
+                   (10_000_000, 1_000_000_000)]:
+        assert (auto_lsh_tables(10, 0.95, n_items=lo)
+                <= auto_lsh_tables(10, 0.95, n_items=hi))
+    assert auto_lsh_tables(10, 0.95, n_items=10**12, max_tables=8) <= 8
+    # an explicit measured p_bit overrides the ln-N model
+    assert auto_lsh_tables(10, 0.95, n_items=10**9, p_bit=0.9) == 4

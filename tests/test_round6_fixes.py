@@ -92,3 +92,37 @@ def test_build_energy_reuses_external_edges(spark, test0_items_df):
         return items, cents
 
     assert _sig(idx_a) == _sig(idx_b)
+
+
+def test_build_with_auto_params_sf001():
+    """r5 brief #8: graph_params='auto' self-tunes k (connectivity
+    rule, 2·ln n) and eps (sample-calibrated rectified-cosine k-NN
+    quantile) and produces a non-degenerate index on the real corpus
+    — eps is unknown at a new corpus scale, the build finds it."""
+    import math
+
+    from pyarrowspace_spark.builder import ArrowSpaceBuilder
+    from pyarrowspace_spark.operators.dimred import auto_graph_params
+    from pyarrowspace_spark.session import get_spark
+    from pyarrowspace_spark.sources import loaders
+
+    spark = get_spark("pyarrowspace-spark-tests", shuffle_partitions=8)
+    items = loaders.items_from_embeddings(
+        spark, "/root/testdata/sf0.01").select("item_id", "features")
+    n = items.count()
+    params = auto_graph_params(items)
+    assert params.k == round(2.0 * math.log(n))
+    assert params.topk == params.k
+    assert 0.0 < params.eps <= 1.0
+    assert params.sigma == pytest.approx(params.eps * 0.5)
+
+    idx = ArrowSpaceBuilder.build(items, "auto")
+    assert idx.params.to_dict() == params.to_dict()
+    assert idx.tau_synth > 0.0  # non-degenerate spectrum
+    lam = idx.items.select("lambda").limit(5).collect()
+    assert all(r["lambda"] > 0 for r in lam)
+    # every node keeps ≥1 edge under the calibrated eps
+    assert idx.nnodes == n
+
+    with pytest.raises(ValueError, match="auto"):
+        ArrowSpaceBuilder.build(items, "autotune")
