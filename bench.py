@@ -203,7 +203,7 @@ def main() -> None:
 
         # recall-targeted table count, corpus-size-aware (fixed 4
         # tables measured 0.896 recall@15 at N=313k — under the 0.9
-        # contract; a fixed 6 over-probes below the calibration scale)
+        # contract; beyond the calibration scale the schedule grows)
         n_tables = auto_lsh_tables(n_planes=10, target_recall=0.95,
                                    n_items=scale_n)
         extra["ann_n_tables"] = n_tables

@@ -35,11 +35,16 @@ def lsh_hyperplanes(dim: int, n_tables: int = DEFAULT_N_TABLES,
 
 # auto_lsh_tables p_bit calibration (measured recall@15 of `search_ann`
 # vs exact `search`, 4 tables × 10 planes, Hamming-1 probing, inverted
-# through the hit model below): 0.9387 at N=78,580 → p_bit ≈ 0.838;
-# 0.8960 at N=313,841 → p_bit ≈ 0.818. Linear-in-ln(N) between/beyond.
+# through the hit model below): p_bit ≈ 0.816 at N=6,000, 0.838 at
+# N=78,580, 0.818 at N=313,841 — NON-monotone sub-calibration noise
+# (~±0.01), so below the anchor we hold the conservative anchor value
+# (6 tables at target 0.95, measured ≥0.95 at 78k and 313k) instead of
+# extrapolating p_bit upward; above it we decay p_bit with ln N at the
+# spread's slope — the growth direction is the one that demonstrably
+# hurts (fixed 4 tables: 0.9387 @78k → 0.8960 @313k).
 _PBIT_ANCHOR_N = 313_841.0
 _PBIT_ANCHOR = 0.818
-_PBIT_PER_NAT = 0.0145  # (0.838-0.818)/ln(313841/78580)
+_PBIT_PER_NAT = 0.0145
 
 
 def auto_lsh_tables(n_planes: int, target_recall: float = 0.95,
@@ -52,14 +57,17 @@ def auto_lsh_tables(n_planes: int, target_recall: float = 0.95,
     recall@15 at 4 tables x 10 planes with Hamming-1 probing: 0.9387
     at N=78,580 → 0.8960 at N=313,841).
 
-    Pass `n_items` so the decay itself scales: p_bit — the chance a
-    true neighbor agrees with the query on one sign bit — was a FIXED
-    0.82 calibrated at N=313k, so the function returned the same 6
-    tables at every corpus size and the target was only honored up to
-    the calibration point (ADVICE r5). Now p_bit extrapolates the two
-    measured design points linearly in ln N (see module constants),
-    clamped to [0.55, 0.95]; an explicitly passed `p_bit` (e.g. a
-    fresh measurement on the actual corpus) overrides the model.
+    Pass `n_items` so the schedule scales: p_bit — the chance a true
+    neighbor agrees with the query on one sign bit — was a FIXED 0.82
+    calibrated at N=313k, so the function returned the same 6 tables
+    at every corpus size and the target was only honored up to the
+    calibration point (ADVICE r5). Now p_bit holds the conservative
+    anchor below N=313k (measured p_bit is flat-with-noise there, see
+    module constants — an early upward extrapolation granted 4 tables
+    at N=6k and measured 0.89 recall, under target) and decays
+    linearly in ln N beyond it, clamped to [0.55, 0.95]; an explicitly
+    passed `p_bit` (e.g. a fresh measurement on the actual corpus)
+    overrides the model.
 
     Hit model: with Hamming-1 probing a table hits when ≥ bits-1 bits
     agree, p1 = p^b + b·p^(b-1)·(1-p); tables are independent, so
@@ -74,9 +82,9 @@ def auto_lsh_tables(n_planes: int, target_recall: float = 0.95,
     if p_bit is not None:
         p = float(p_bit)
     elif n_items is not None and n_items > 0:
-        p = _PBIT_ANCHOR - _PBIT_PER_NAT * float(
-            np.log(float(n_items) / _PBIT_ANCHOR_N))
-        p = float(np.clip(p, 0.55, 0.95))
+        nats_above = max(0.0, float(np.log(float(n_items) / _PBIT_ANCHOR_N)))
+        p = float(np.clip(_PBIT_ANCHOR - _PBIT_PER_NAT * nats_above,
+                          0.55, 0.95))
     else:
         # no corpus-size information: the 313k calibration point —
         # guaranteed only up to that scale
