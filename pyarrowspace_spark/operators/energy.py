@@ -75,6 +75,7 @@ def diffusion_step(
     eta: float,
     id_col: str = "item_id",
     feat_col: str = "features",
+    n_groups: int = 512,
 ) -> DataFrame:
     """One distributed heat-diffusion step:
     x_i ← (1 − η·deg_i)·x_i + η·Σ_j w_ij·x_j.
@@ -87,6 +88,12 @@ def diffusion_step(
     pass over non-edge rows, isolated nodes keep x unchanged via the
     left joins. Per-step shuffle is O(E·F + 2·N·F) values, linear in
     the corpus.
+
+    `n_groups` bounds each grouped kernel's buffer: applyInPandas
+    materializes a whole group, so a FIXED group count is a hidden
+    per-task O(E/groups·F) — 15 GB/group at E=2.5B, F=384 under the
+    old constant 512. `diffuse` sizes it from the measured edge count
+    so a group stays ~tens of MB at any scale.
     """
     both = _symmetrize(edges)
     deg = both.groupBy(F.col("dst").alias(id_col)).agg(
@@ -115,7 +122,7 @@ def diffusion_step(
         return pd.DataFrame({id_col: dsts, "_nsum": list(nsum)})
 
     nsum = (
-        msgs.withColumn("_g", F.pmod(F.xxhash64("dst"), F.lit(512)))
+        msgs.withColumn("_g", F.pmod(F.xxhash64("dst"), F.lit(int(n_groups))))
         .groupBy("_g")
         .applyInPandas(_sum_kernel, f"{id_col} long, _nsum array<double>")
     )
@@ -212,9 +219,17 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
     n = items.count()
     if n * nf * 8 <= DIFFUSE_BROADCAST_MAX_BYTES:
         return _diffuse_driver(items, edges, eta, steps, id_col, feat_col)
+    # Size the per-destination sum's hash groups so one group's Arrow
+    # buffer stays ~64 MB of doubles regardless of E and F (the group
+    # kernel materializes its whole group; a fixed count silently
+    # scales the buffer with E). Edge count is one cheap narrow scan,
+    # amortized over all `steps`.
+    n_sym_edges = 2 * edges.count()
+    rows_per_group = max(1, (64 << 20) // (8 * nf))
+    n_groups = int(min(1 << 16, max(64, -(-n_sym_edges // rows_per_group))))
     out = items.select(id_col, feat_col)
     for _ in range(int(steps)):
-        out = diffusion_step(out, edges, eta, id_col, feat_col)
+        out = diffusion_step(out, edges, eta, id_col, feat_col, n_groups)
         out = out.localCheckpoint(eager=False)
     return out
 
