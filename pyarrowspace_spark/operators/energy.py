@@ -476,18 +476,23 @@ def build_energy(
                 .unionAll(reassigned)
             )
             with_c0 = with_c
-            with_c = indexed.join(assigned, "item_id")
+            # Materialize the post-split frame WHILE the pre-split
+            # cache is still warm: `reassigned` reads with_c0, so
+            # unpersisting first would force a full assignment
+            # recompute at first consumption (measured: 63 s → 176 s
+            # materialize at N=313k). One count against warm caches,
+            # THEN drop the dead pre-split cache (ADVICE r5 — without
+            # the unpersist it holds executor storage for the index
+            # lifetime).
+            with_c = indexed.join(assigned, "item_id").persist()
+            with_c.count()
+            with_c0.unpersist()
             child_attrs = _centroid_attrs(
                 with_c.filter(F.col("centroid_id") >= F.lit(k_tokens)))
             centroids = (
                 centroids.filter(~F.col("centroid_id").isin(split_ids))
                 .unionByName(child_attrs)
             )
-            # the pre-split assignment cache is dead now (its surviving
-            # consumers — centroids rows, the crows collect — are
-            # already materialized); without this it holds executor
-            # storage for the index lifetime (ADVICE r5)
-            with_c0.unpersist()
 
     return EnergyIndex(
         # persisted: every consumer (search member rescore, centroid
