@@ -263,8 +263,17 @@ class ArrowSpaceBuilder:
         # ONE Python kernel pass computes the τ-independent (e_raw, g);
         # τ-synthesis and the λ blend are JVM-side over that column.
         comp = lam_ops.with_energy_components(base, lf).persist()
+        # scale-tiered median (functions.stats): exact below the
+        # ceiling (oracle parity), percentile_approx beyond — the
+        # exact per-distinct-double state over billions of e_raw
+        # values would OOM the merging task. base is cached, the
+        # count is one trivial job.
+        from .functions import stats
+
+        n_rows = base.count()
         tau_row = comp.select(
-            F.expr("percentile(_ec.e_raw, 0.5)").alias("m")).first()
+            stats.percentile_expr("_ec.e_raw", 0.5, n_rows).alias("m")
+        ).first()
         tau_synth = float(tau_row["m"]) if tau_row["m"] is not None else 0.0
         debug_print(
             f"build: eps={params.eps} k={params.k} sigma={params.sigma} "

@@ -66,9 +66,13 @@ def matrix_to_frame(
     column-pruned, identical under any session config.
 
     Scratch location: `$SPARK_GRAFT_SCRATCH_DIR` if set, else the
-    system temp dir. On a multi-node cluster point it at storage the
-    executors share (HDFS/NFS mount); in local mode any tmp works.
-    Falls back to a pure-python `createDataFrame` if the write fails.
+    system temp dir. On a multi-node cluster the scratch dir MUST be
+    storage the executors share (HDFS/NFS mount) — so under a
+    non-local master with no scratch dir configured the function does
+    NOT write a driver-local file the executors couldn't read; it
+    takes the pure-python `createDataFrame` path instead (slower, but
+    correct under any deployment and any session config). The same
+    fallback catches a failed write.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -77,8 +81,13 @@ def matrix_to_frame(
     X = np.ascontiguousarray(X, dtype=np.float64)
     n, f = X.shape
     schema = f"{id_col} long, {feat_col} array<double>"
+    base = os.environ.get("SPARK_GRAFT_SCRATCH_DIR") or None
+    master = spark.sparkContext.master
+    if base is None and not master.startswith("local"):
+        return spark.createDataFrame(
+            [(int(i), [float(v) for v in row]) for i, row in zip(ids, X)],
+            schema=schema)
     try:
-        base = os.environ.get("SPARK_GRAFT_SCRATCH_DIR") or None
         d = tempfile.mkdtemp(prefix="pyarrowspace-matrix-", dir=base)
         _SCRATCH_DIRS.append(d)
         offsets = pa.array(np.arange(0, (n + 1) * f, f, dtype=np.int64),

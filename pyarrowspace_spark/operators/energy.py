@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import stats
 from ..functions.matrix import (
     collect_id_matrix,
     matrix_to_frame,
@@ -234,12 +235,22 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
     return out
 
 
-def trim_edges(edges: DataFrame, trim_quantile: float) -> DataFrame:
-    """Drop the weakest `trim_quantile` fraction of edges."""
+def trim_edges(edges: DataFrame, trim_quantile: float,
+               n_edges: int | None = None) -> DataFrame:
+    """Drop the weakest `trim_quantile` fraction of edges.
+
+    The cut is a scale-tiered percentile (`functions.stats`): exact —
+    oracle-replayable — below the ceiling, Greenwald-Khanna approx
+    beyond, where an exact per-distinct-double state over billions of
+    edge weights would OOM the merging task. `n_edges` is counted if
+    not supplied (cheap on the persisted edge list)."""
     if trim_quantile <= 0:
         return edges
+    if n_edges is None:
+        n_edges = edges.count()
     cut = edges.select(
-        F.expr(f"percentile(weight, {float(trim_quantile)})").alias("c")
+        stats.percentile_expr("weight", float(trim_quantile),
+                              n_edges).alias("c")
     ).collect()[0]["c"]
     return edges.filter(F.col("weight") >= F.lit(float(cut)))
 
@@ -288,10 +299,10 @@ def build_energy(
         # build) — re-persisting it would double-cache the same plan
         edges = edges.select("src", "dst", "weight")
 
-    # G13a trim cut FIRST: its percentile scan is the first action on
-    # the persisted edges, so one job both materializes the edge cache
-    # and returns the cut (previously a separate collect after diffuse
-    # had already materialized the cache — one job saved, r5 brief #7).
+    # G13a trim cut FIRST: its count+percentile are the first actions
+    # on the persisted edges, so cache materialization rides the cut
+    # computation instead of being a separate post-diffuse scan
+    # (r5 brief #7); the count also picks the percentile tier.
     kept_edges = trim_edges(edges, eparams.trim_quantile).persist()
 
     # G12: diffusion smoothing (reads the now-cached edges).
@@ -302,8 +313,9 @@ def build_energy(
     # single-pass pattern as the standard builder).
     lf = lam_ops.feature_laplacian(diffused, kept_edges, n_features)
     comp = lam_ops.with_energy_components(diffused, lf).persist()
+    n_items = base.count()  # cached; picks the τ-median percentile tier
     tau_row = comp.select(
-        F.expr("percentile(_ec.e_raw, 0.5)").alias("m")).first()
+        stats.percentile_expr("_ec.e_raw", 0.5, n_items).alias("m")).first()
     tau_synth = float(tau_row["m"]) if tau_row["m"] is not None else 0.0
     if not (tau_synth > 0.0):
         raise ValueError(

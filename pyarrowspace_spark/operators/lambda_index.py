@@ -228,12 +228,14 @@ def _lambda_kernel(X: np.ndarray, LF: np.ndarray, tau: float,
 
 def median_tau(items: DataFrame, lf: np.ndarray,
                feat_col: str = "features") -> float:
-    """τ_synth = exact median of e_raw over all items (TauMode::Median).
+    """τ_synth = median of e_raw over all items (TauMode::Median).
 
-    Exact percentile is a full sort of N doubles — acceptable at test
-    scale; at bench scale the builder can pass `approx=True` through
-    `percentile_approx` with documented tolerance (SURVEY §7.3 #4).
+    Scale-tiered percentile (`functions.stats`, SURVEY §7.3 #4): exact
+    below the row ceiling — oracle parity — `percentile_approx` beyond,
+    where the exact per-distinct-double aggregation state would OOM.
     """
+    from ..functions import stats
+
     spark = items.sparkSession
     blf = spark.sparkContext.broadcast(lf)
 
@@ -245,7 +247,7 @@ def median_tau(items: DataFrame, lf: np.ndarray,
 
     med = (
         items.select(e_raw_udf(F.col(feat_col)).alias("e_raw"))
-        .select(F.expr("percentile(e_raw, 0.5)").alias("m"))
+        .select(stats.percentile_expr("e_raw", 0.5, items.count()).alias("m"))
         .collect()[0]["m"]
     )
     return float(med)

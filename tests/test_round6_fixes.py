@@ -126,3 +126,22 @@ def test_build_with_auto_params_sf001():
 
     with pytest.raises(ValueError, match="auto"):
         ArrowSpaceBuilder.build(items, "autotune")
+
+
+def test_percentile_tier_switch(spark):
+    """functions.stats.percentile_expr: exact (oracle-parity) below
+    the ceiling, Greenwald-Khanna approx beyond — the exact aggregate's
+    per-distinct-double state is an OOM at billions of edges."""
+    from pyarrowspace_spark.functions import stats
+
+    df = spark.range(10_001).select(
+        (F.col("id").cast("double") / 10_000.0).alias("w"))
+    exact = df.select(stats.percentile_expr("w", 0.25, 10_001)).first()[0]
+    assert exact == pytest.approx(0.25, abs=1e-12)
+    approx = df.select(
+        stats.percentile_expr("w", 0.25, stats.EXACT_PERCENTILE_MAX + 1)
+    ).first()[0]
+    assert approx == pytest.approx(0.25, abs=1e-3)
+    # None = caller-known-small -> exact
+    assert df.select(
+        stats.percentile_expr("w", 0.25, None)).first()[0] == exact
