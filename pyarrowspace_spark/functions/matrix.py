@@ -84,9 +84,7 @@ def matrix_to_frame(
     base = os.environ.get("SPARK_GRAFT_SCRATCH_DIR") or None
     master = spark.sparkContext.master
     if base is None and not master.startswith("local"):
-        return spark.createDataFrame(
-            [(int(i), [float(v) for v in row]) for i, row in zip(ids, X)],
-            schema=schema)
+        return _pure_python_frame(spark, ids, X, schema)
     try:
         d = tempfile.mkdtemp(prefix="pyarrowspace-matrix-", dir=base)
         _SCRATCH_DIRS.append(d)
@@ -100,9 +98,30 @@ def matrix_to_frame(
                        row_group_size=32768)
         return spark.read.schema(schema).parquet(d)
     except Exception:  # pragma: no cover - scratch dir unavailable
-        return spark.createDataFrame(
-            [(int(i), [float(v) for v in row]) for i, row in zip(ids, X)],
-            schema=schema)
+        return _pure_python_frame(spark, ids, X, schema)
+
+
+# Above this many raw matrix bytes the pure-python fallback would build
+# ~5x that in boxed-float driver objects — an OOM, not a slow path.
+PURE_PYTHON_MAX_BYTES = 512 * 1024**2
+
+
+def _pure_python_frame(spark, ids: np.ndarray, X: np.ndarray,
+                       schema: str):
+    """Slow-but-portable fallback: rows of builtin floats (accepted by
+    any session config, readable under any deployment). Refuses
+    matrices whose boxed-object blowup would OOM the driver, with the
+    fix in the message."""
+    if X.nbytes > PURE_PYTHON_MAX_BYTES:
+        raise RuntimeError(
+            f"matrix handoff of {X.nbytes >> 20} MiB has no "
+            f"executor-readable scratch location; set "
+            f"SPARK_GRAFT_SCRATCH_DIR to storage all executors share "
+            f"(HDFS/NFS) instead of falling back to "
+            f"{X.nbytes * 5 >> 20} MiB of boxed driver rows")
+    return spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in zip(ids, X)],
+        schema=schema)
 
 
 def sorted_index(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -77,6 +77,8 @@ def diffusion_step(
     id_col: str = "item_id",
     feat_col: str = "features",
     n_groups: int = 512,
+    both: DataFrame | None = None,
+    deg: DataFrame | None = None,
 ) -> DataFrame:
     """One distributed heat-diffusion step:
     x_i ← (1 − η·deg_i)·x_i + η·Σ_j w_ij·x_j.
@@ -95,11 +97,17 @@ def diffusion_step(
     per-task O(E/groups·F) — 15 GB/group at E=2.5B, F=384 under the
     old constant 512. `diffuse` sizes it from the measured edge count
     so a group stays ~tens of MB at any scale.
+
+    `both`/`deg`: the symmetrized edge list and the degree aggregation
+    are LOOP-INVARIANT — a multi-step caller passes them persisted
+    once instead of re-shuffling E rows for degrees every step.
     """
-    both = _symmetrize(edges)
-    deg = both.groupBy(F.col("dst").alias(id_col)).agg(
-        F.sum("weight").alias("_deg")
-    )
+    if both is None:
+        both = _symmetrize(edges)
+    if deg is None:
+        deg = both.groupBy(F.col("dst").alias(id_col)).agg(
+            F.sum("weight").alias("_deg")
+        )
     msgs = both.join(
         items.select(F.col(id_col).alias("src"),
                      F.col(feat_col).alias("_xf")),
@@ -228,10 +236,21 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
     n_sym_edges = 2 * edges.count()
     rows_per_group = max(1, (64 << 20) // (8 * nf))
     n_groups = int(min(1 << 16, max(64, -(-n_sym_edges // rows_per_group))))
+    # loop-invariant across steps: symmetrized edges + degrees, each
+    # persisted once instead of re-shuffled E rows per step
+    both = _symmetrize(edges).persist()
+    deg = both.groupBy(F.col("dst").alias(id_col)).agg(
+        F.sum("weight").alias("_deg")).persist()
     out = items.select(id_col, feat_col)
-    for _ in range(int(steps)):
-        out = diffusion_step(out, edges, eta, id_col, feat_col, n_groups)
-        out = out.localCheckpoint(eager=False)
+    last = int(steps) - 1
+    for i in range(int(steps)):
+        out = diffusion_step(out, edges, eta, id_col, feat_col, n_groups,
+                             both=both, deg=deg)
+        # final step checkpoints EAGERLY so the result no longer
+        # depends on both/deg and they can be dropped here, not leaked
+        out = out.localCheckpoint(eager=(i == last))
+    both.unpersist()
+    deg.unpersist()
     return out
 
 
