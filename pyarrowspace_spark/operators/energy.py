@@ -237,8 +237,15 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
     rows_per_group = max(1, (64 << 20) // (8 * nf))
     n_groups = int(min(1 << 16, max(64, -(-n_sym_edges // rows_per_group))))
     # loop-invariant across steps: symmetrized edges + degrees, each
-    # persisted once instead of re-shuffled E rows per step
-    both = _symmetrize(edges).persist()
+    # persisted once instead of re-shuffled E rows per step. The edge
+    # list is persisted PRE-PARTITIONED on src (InMemoryRelation keeps
+    # outputPartitioning), so each step's edge→feature join exchanges
+    # only the N-row items side — the E-row side, the big one, stays
+    # put; the per-step shuffle floor is N·F (gather) + E·F (messages)
+    # instead of 2·E·F + N·F.
+    n_part = int(items.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    both = _symmetrize(edges).repartition(n_part, "src").persist()
     deg = both.groupBy(F.col("dst").alias(id_col)).agg(
         F.sum("weight").alias("_deg")).persist()
     out = items.select(id_col, feat_col)
