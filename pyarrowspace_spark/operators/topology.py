@@ -48,9 +48,14 @@ def personalized_pagerank(
     spark = edges.sparkSession
     both = _both_dirs(edges)
     deg = weighted_degrees(edges)
+    # persisted PRE-PARTITIONED on the per-iteration join key:
+    # InMemoryRelation keeps outputPartitioning, so each power-method
+    # step exchanges only the pr side — the E-row transition table
+    # stays put (same hoist as the diffusion loop).
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     trans = both.join(deg, both["src"] == deg["node"]).select(
         "src", "dst", (F.col("weight") / F.col("degree")).alias("p")
-    ).persist()
+    ).repartition(n_part, "src").persist()
 
     init = spark.createDataFrame(
         [(int(s), int(s), 1.0) for s in sources],
@@ -76,6 +81,10 @@ def personalized_pagerank(
             )
         )
         pr = pr.localCheckpoint(eager=False)
+    # eager final checkpoint → the result no longer depends on trans,
+    # whose cache would otherwise be held for the session lifetime
+    pr = pr.localCheckpoint(eager=True)
+    trans.unpersist()
     return pr
 
 
@@ -155,7 +164,11 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
     community id (total order → deterministic under any shuffle).
     Returns DataFrame[node, community].
     """
-    both = _both_dirs(edges).persist()
+    # pre-partitioned on the per-iteration join key, dropped after the
+    # eager final checkpoint (same pattern as personalized_pagerank)
+    n_part = int(edges.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    both = _both_dirs(edges).repartition(n_part, "src").persist()
     labels = both.select(F.col("src").alias("node")).distinct().withColumn(
         "community", F.col("node")
     )
@@ -180,6 +193,8 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
             .select("node", F.coalesce("_new", "community").alias("community"))
             .localCheckpoint(eager=False)
         )
+    labels = labels.localCheckpoint(eager=True)
+    both.unpersist()
     return labels
 
 
