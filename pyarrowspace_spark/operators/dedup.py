@@ -314,8 +314,15 @@ def connected_components(pairs: DataFrame, iters: int | None = 8,
     (no driver-side union-find); `localCheckpoint` caps lineage.
     """
     both = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # pre-partitioned on the per-iteration join key (InMemoryRelation
+    # keeps outputPartitioning, so only the label side exchanges per
+    # hop), released at return — the same iteration hygiene as
+    # diffusion/PPR/LPA.
+    n_part = int(pairs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
     both = both.unionAll(both.select(F.col("dst").alias("src"),
-                                     F.col("src").alias("dst"))).persist()
+                                     F.col("src").alias("dst"))
+                         ).repartition(n_part, "src").persist()
     lab = both.select("src").unionAll(both.select("dst")).distinct().select(
         F.col("src").alias("node"), F.col("src").alias("component"))
     i = 0
@@ -339,6 +346,8 @@ def connected_components(pairs: DataFrame, iters: int | None = 8,
         lab = new_lab
         if converged:
             break
+    # lab is an eager checkpoint — independent of the edge cache
+    both.unpersist()
     return lab
 
 
