@@ -228,14 +228,6 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
     n = items.count()
     if n * nf * 8 <= DIFFUSE_BROADCAST_MAX_BYTES:
         return _diffuse_driver(items, edges, eta, steps, id_col, feat_col)
-    # Size the per-destination sum's hash groups so one group's Arrow
-    # buffer stays ~64 MB of doubles regardless of E and F (the group
-    # kernel materializes its whole group; a fixed count silently
-    # scales the buffer with E). Edge count is one cheap narrow scan,
-    # amortized over all `steps`.
-    n_sym_edges = 2 * edges.count()
-    rows_per_group = max(1, (64 << 20) // (8 * nf))
-    n_groups = int(min(1 << 16, max(64, -(-n_sym_edges // rows_per_group))))
     # loop-invariant across steps: symmetrized edges + degrees, each
     # persisted once instead of re-shuffled E rows per step. The edge
     # list is persisted PRE-PARTITIONED on src (InMemoryRelation keeps
@@ -246,6 +238,15 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
     n_part = int(items.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"))
     both = _symmetrize(edges).repartition(n_part, "src").persist()
+    # Size the per-destination sum's hash groups so one group's Arrow
+    # buffer stays ~64 MB of doubles regardless of E and F (the group
+    # kernel materializes its whole group; a fixed count silently
+    # scales the buffer with E). Counting the just-persisted frame
+    # doubles as its materialization — an unpersisted caller edge list
+    # is evaluated exactly once.
+    n_sym_edges = both.count()
+    rows_per_group = max(1, (64 << 20) // (8 * nf))
+    n_groups = int(min(1 << 16, max(64, -(-n_sym_edges // rows_per_group))))
     deg = both.groupBy(F.col("dst").alias(id_col)).agg(
         F.sum("weight").alias("_deg")).persist()
     out = items.select(id_col, feat_col)
