@@ -301,6 +301,57 @@ class EnergyIndex:
         """Energy-graph node count (reference logs nnodes=39..120)."""
         return self.centroids.count()
 
+    def save(self, path: str) -> None:
+        """Persist the energy-index artifacts as Parquet + JSON meta —
+        the energy twin of `ArrowSpaceIndex.save` (build once, search
+        in later sessions; the reference keeps its energy maps
+        in-process only, so this is engine parity with our own
+        standard-index lifecycle, not a reference API)."""
+        import json as _json
+
+        self.items.write.mode("overwrite").parquet(f"{path}/items")
+        self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        self.edges.write.mode("overwrite").parquet(f"{path}/edges")
+        spark = self.items.sparkSession
+        lf_rows = [
+            (int(i), [float(v) for v in row])
+            for i, row in enumerate(self.feature_laplacian)
+        ]
+        spark.createDataFrame(
+            lf_rows, schema="row_idx long, row array<double>"
+        ).write.mode("overwrite").parquet(f"{path}/feature_laplacian")
+        meta = {
+            "tau_synth": float(self.tau_synth),
+            "graph_params": _json.dumps(self.graph_params.to_dict()),
+            "energy_params": _json.dumps(self.energy_params.to_dict()),
+        }
+        spark.createDataFrame([meta]).write.mode("overwrite").json(
+            f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "EnergyIndex":
+        """Reopen a saved energy index: tables stay lazy/distributed,
+        only the F×F Laplacian and the param dicts hit the driver."""
+        import json as _json
+
+        lf_rows = (
+            spark.read.parquet(f"{path}/feature_laplacian")
+            .orderBy("row_idx").collect()
+        )
+        lf = np.array([r["row"] for r in lf_rows], dtype=np.float64)
+        meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
+        return cls(
+            items=spark.read.parquet(f"{path}/items"),
+            centroids=spark.read.parquet(f"{path}/centroids"),
+            edges=spark.read.parquet(f"{path}/edges"),
+            feature_laplacian=lf,
+            graph_params=GraphParams(
+                **_json.loads(meta["graph_params"])),
+            energy_params=EnergyParams.from_dict(
+                _json.loads(meta["energy_params"])),
+            tau_synth=float(meta["tau_synth"]),
+        )
+
 
 def build_energy(
     items: DataFrame,

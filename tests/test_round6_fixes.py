@@ -145,3 +145,28 @@ def test_percentile_tier_switch(spark):
     # None = caller-known-small -> exact
     assert df.select(
         stats.percentile_expr("w", 0.25, None)).first()[0] == exact
+
+
+def test_energy_index_save_load_roundtrip(spark, test0_items_df, tmp_path):
+    """EnergyIndex.save/load: a reloaded index answers search_energy
+    identically to the in-memory one (params, τ, Laplacian, centroid
+    and member tables all round-trip)."""
+    idx = E.build_energy(test0_items_df, EP, GP)
+    path = str(tmp_path / "eidx")
+    idx.save(path)
+    back = E.EnergyIndex.load(spark, path)
+    assert back.tau_synth == pytest.approx(idx.tau_synth)
+    assert back.graph_params.to_dict() == GP.to_dict()
+    assert back.energy_params.to_dict() == EP.to_dict()
+    np.testing.assert_allclose(back.feature_laplacian,
+                               idx.feature_laplacian)
+    assert back.nnodes == idx.nnodes
+    q = np.array(
+        test0_items_df.filter(F.col("item_id") == 1).first()["features"])
+
+    def _hits(i):
+        return [(r["item_id"], r["rank"], round(r["score"], 9))
+                for r in E.search_energy(i, q, k=3)
+                .orderBy("rank").collect()]
+
+    assert _hits(back) == _hits(idx)
