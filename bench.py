@@ -295,6 +295,22 @@ def main() -> None:
                 eidx, qmat, k=15,
                 query_ids=list(range(len(qmat)))).collect())
 
+            # Distributed diffusion tier (the beyond-4GiB / 100 TB
+            # path, which the driver-tier corpora never exercise):
+            # force it for ONE step so the artifact carries a measured
+            # per-step cost for the array-message dataflow, not just
+            # the driver-tier loop.
+            from pyarrowspace_spark.operators import energy as energy_mod
+
+            ceil0 = energy_mod.DIFFUSE_BROADCAST_MAX_BYTES
+            energy_mod.DIFFUSE_BROADCAST_MAX_BYTES = 0
+            try:
+                timed("diffuse_distributed_1step_at_scale",
+                      lambda: energy_mod.diffuse(
+                          big, bidx.edges, eta=0.05, steps=1).count())
+            finally:
+                energy_mod.DIFFUSE_BROADCAST_MAX_BYTES = ceil0
+
     extra["loadavg_end"] = [round(v, 2) for v in os.getloadavg()]
     total = round(sum(timings.values()), 3)
     print(json.dumps({
