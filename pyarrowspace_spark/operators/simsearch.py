@@ -354,7 +354,15 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
     def cells(feats):
         C = b_c.value
         X = np.stack(feats.to_numpy())
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # gemm distance form ||x||^2 - 2 x.c + ||c||^2 — the same
+        # formula the DuckDB oracle evaluates, and the same fix
+        # lloyd_kmeans got in round 5: the naive broadcasted
+        # (batch, k, F) difference tensor is ~1.2 GB of transient per
+        # 10k-row Arrow batch at k=40 F=384 (×32 concurrent tasks
+        # ≈ 39 GB of simultaneous scratch, linear in k); this runs
+        # the same argmin in BLAS with a (batch, k) scratch.
+        d2 = ((X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T)
+              + (C * C).sum(axis=1)[None, :])
         # stable: FP ties resolve to the lower cell id, matching the
         # oracle's ORDER BY d2 ASC, cell ASC
         idx = np.argsort(d2, axis=1, kind="stable")[:, :np_probe]
