@@ -1004,6 +1004,53 @@ SHARD_TOKENS = 4096
 EPS_SWEEP = (0.9, 0.95, 0.99)
 QUALITY_MIN = 0.5
 
+# DuckDB replay of dimred.auto_graph_params at the sf0.01 gate scale,
+# where deterministic_cap(max_rows=2048) is the identity (500 rows) so
+# the calibration sample is the whole embeddings table: unit-normalize
+# (zero vectors divide by 1, matching np.where(norms > 0, norms, 1)),
+# rectified-cosine distance to every other row, per-row k-th smallest
+# with k = max(2, round(2·ln n)), 0.9-quantile (quantile_cont's linear
+# interpolation == np.quantile's default), ×1.10 margin, clamp (0, 1].
+AUTO_PARAMS_SQL = """
+WITH it AS (
+  SELECT vec_id AS item_id, embedding::DOUBLE[] AS f FROM embeddings
+),
+nrm AS (
+  SELECT item_id, f,
+         sqrt(list_sum(list_transform(f, x -> x * x))) AS nv
+  FROM it
+),
+u AS (
+  SELECT item_id,
+         list_transform(
+           f, x -> x / (CASE WHEN nv > 0 THEN nv ELSE 1.0 END)) AS uf
+  FROM nrm
+),
+p AS (
+  SELECT count(*)::BIGINT AS n,
+         GREATEST(2, round(2.0 * ln(count(*)), 0)::BIGINT) AS k
+  FROM it
+),
+pairs AS (
+  SELECT a.item_id AS src,
+         1.0 - GREATEST(list_dot_product(a.uf, b.uf), 0.0) AS d
+  FROM u a JOIN u b ON a.item_id <> b.item_id
+),
+ranked AS (
+  SELECT src, d,
+         row_number() OVER (PARTITION BY src ORDER BY d) AS rn
+  FROM pairs
+),
+dk AS (
+  SELECT r.d FROM ranked r, p
+  WHERE r.rn = LEAST(p.k, p.n - 1)
+),
+q AS (SELECT quantile_cont(d, 0.9) AS eps_raw FROM dk)
+SELECT p.n, p.k,
+       round(q.eps_raw, 6) AS eps_raw_r,
+       round(LEAST(1.0, GREATEST(q.eps_raw * 1.1, 1e-6)), 6) AS eps_r
+FROM p, q"""
+
 
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-data pipeline composition: exact-dup removal
@@ -1155,14 +1202,53 @@ def _melt_diag(df: DataFrame, section: str,
     ).select("section", "_kv.metric", "_kv.value")
 
 
+def q_auto_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-tuning build calibration, driver-gated (r6 verdict #5):
+    run the REAL `ArrowSpaceBuilder.build(items, 'auto')` path and
+    emit one row with both the calibrated parameters
+    (`dimred.auto_graph_params` diagnostics: n, k from the
+    round(2·ln n) connectivity rule, the raw kth-neighbor-distance
+    quantile, and the margined/clamped eps) and the parameters the
+    build ACTUALLY applied — the oracle replays the quantile-over-
+    sample calibration in SQL and emits the calibrated values for the
+    applied columns too, so any drift between calibration and
+    application hash-mismatches.
+
+    Oracle-replayable because at the sf0.01 gate scale (500
+    embeddings) `deterministic_cap(max_rows=2048)` is the identity, so
+    the calibration sample is the whole table; above 2048 rows the
+    xxhash64 thinning engages and the SQL twin no longer matches
+    (bench-only scales — the driver gate runs sf0.01)."""
+    from pyarrowspace_spark.builder import ArrowSpaceBuilder
+    from pyarrowspace_spark.operators.dimred import auto_graph_params
+
+    _ship_package(spark)
+    items = _items(spark, sf_dir).select("item_id", "features")
+    params, info = auto_graph_params(items, with_diagnostics=True)
+    idx = ArrowSpaceBuilder.build(items, "auto")
+    applied = idx.params
+    # the one-off index exists only to witness the applied params —
+    # drop its caches rather than hold them for the session
+    idx.items.unpersist()
+    idx.edges.unpersist()
+    return spark.createDataFrame(
+        [(int(info["n"]), int(info["k"]),
+          round(float(info["eps_raw"]), 6), round(float(params.eps), 6),
+          int(applied.k), round(float(applied.eps), 6))],
+        schema=("n long, k long, eps_raw_r double, eps_r double, "
+                "k_applied long, eps_applied_r double"),
+    )
+
+
 def q_build_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated build-diagnostics suite as ONE oracle-checked query
     (r4 verdict: the catalog outgrew the driver's 50-entry correctness
-    window, so the six diagnostic queries — graph sparsity, TwoNN
+    window, so the diagnostic queries — graph sparsity, TwoNN
     intrinsic dim, theory param suggestions, input-magnitude report,
-    eps sweep, τ sweep — are melted into one long-format frame
-    [section, metric, value]). Each section is the SAME dataflow the
-    standalone q_* function runs; the oracle melts the same SQL."""
+    eps sweep, τ sweep, and (r7) the 'auto'-build calibration — are
+    melted into one long-format frame [section, metric, value]). Each
+    section is the SAME dataflow the standalone q_* function runs; the
+    oracle melts the same SQL."""
     def _lbl(col, values):
         lab = None
         for v in values:
@@ -1208,8 +1294,16 @@ def q_build_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = _melt_diag(q_tau_sweep(spark, sf_dir), "tau_sweep", [
         (F.concat(F.lit("avg_ndcg@"), tl), F.col("avg_ndcg_r")),
     ])
+    ap = _melt_diag(q_auto_params(spark, sf_dir), "auto_params", [
+        ("n", F.col("n")),
+        ("k", F.col("k")),
+        ("eps_raw", F.col("eps_raw_r")),
+        ("eps", F.col("eps_r")),
+        ("k_applied", F.col("k_applied")),
+        ("eps_applied", F.col("eps_applied_r")),
+    ])
     out = gs
-    for part in (idim, sp, mr, es, ts):
+    for part in (idim, sp, mr, es, ts, ap):
         out = out.unionAll(part)
     return out
 
@@ -3207,8 +3301,9 @@ SELECT lang, count(*)::BIGINT AS n_docs,
        round(avg(punct_ratio), 6) AS avg_punct_r
 FROM stats GROUP BY lang"""
 
-    # --- build_diagnostics: melt the six diagnostic SQL bodies into
-    # one long-format (section, metric, value) union — the oracle twin
+    # --- build_diagnostics: melt the diagnostic SQL bodies (plus the
+    # AUTO_PARAMS_SQL calibration replay) into one long-format
+    # (section, metric, value) union — the oracle twin
     # of q_build_diagnostics. The standalone SQL strings are consumed
     # (popped) because the catalog no longer exposes them separately;
     # search_hybrid's row is likewise retired (pinned == lambda_search,
@@ -3250,6 +3345,12 @@ SELECT 'eps_sweep',
 FROM (SELECT *, {_lbl_eps} AS lbl FROM ({d.pop('eps_sweep')}))
 UNION ALL
 SELECT 'tau_sweep', unnest(['avg_ndcg@' || lbl]), unnest([avg_ndcg_r])
-FROM (SELECT *, {_lbl_tau} AS lbl FROM ({d.pop('tau_sweep')}))"""
+FROM (SELECT *, {_lbl_tau} AS lbl FROM ({d.pop('tau_sweep')}))
+UNION ALL
+SELECT 'auto_params',
+       unnest(['n', 'k', 'eps_raw', 'eps', 'k_applied', 'eps_applied']),
+       unnest([n::DOUBLE, k::DOUBLE, eps_raw_r, eps_r,
+               k::DOUBLE, eps_r])
+FROM ({AUTO_PARAMS_SQL})"""
     d.pop("search_hybrid")
     return d

@@ -249,6 +249,22 @@ def main() -> None:
         ]
         extra["ann_topk_recall_at_15"] = round(float(np.mean(recalls)), 4)
         extra["ann_topk_recall_n_queries"] = len(recalls)
+
+        # Amortized serving path (r6 stretch): persist the hashed
+        # corpus ONCE as a parquet artifact and serve search_ann from
+        # the REOPENED table — the cross-session shape of the
+        # hash-once contract (the planes fingerprint stamped by
+        # with_lsh_buckets survives the parquet round-trip, so a
+        # mismatched-planes reopen still errors instead of silently
+        # missing). Expected within noise of the in-memory number:
+        # the query side is broadcast, so the corpus side never
+        # exchanges in either shape.
+        saved_dir = os.path.join(cache, f"hashed_n{scale_n}")
+        hashed.write.mode("overwrite").parquet(saved_dir)
+        reopened = spark.read.parquet(saved_dir)
+        timed("lsh_ann_search_saved_50q_at_scale", lambda: search_ann(
+            reopened, bidx.feature_laplacian, qdf50, tau=0.62, k=15,
+            planes=planes).collect())
         hashed.unpersist()
 
         # --- energy pipeline at ledger scale ------------------------------

@@ -366,10 +366,18 @@ class ArrowSpaceBuilder:
         graph_params: dict | GraphParams | None = None,
         id_col: str = "item_id",
         feat_col: str = "features",
+        edges: DataFrame | None = None,
     ):
         """Energy pipeline (reference src/lib.rs:332-376) — implemented
         in operators/energy.py; imported lazily to keep the standard
-        path import-light."""
+        path import-light.
+
+        Pass ``edges`` (e.g. ``ArrowSpaceIndex.edges`` from a standard
+        build over the SAME items/params) to reuse an already-built
+        λτ-graph: one-graph-two-indexes without importing the operator
+        module. With the exact strategy the reused edge list is
+        value-identical to the one this build would produce; under LSH
+        both indexes share the same approximate graph."""
         from .operators import energy as energy_ops
 
         eparams = (
@@ -385,4 +393,5 @@ class ArrowSpaceBuilder:
             else GraphParams(eps=1e-3, k=6, topk=10)
         )
         return energy_ops.build_energy(items, eparams, gparams,
-                                       id_col=id_col, feat_col=feat_col)
+                                       id_col=id_col, feat_col=feat_col,
+                                       edges=edges)

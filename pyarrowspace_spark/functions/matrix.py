@@ -37,7 +37,11 @@ def collect_id_matrix(
 # Scratch dirs from matrix_to_frame, removed at interpreter exit. The
 # frames returned from them are lazy parquet scans, so the files must
 # outlive any point where Spark may (re)materialize the plan — session
-# lifetime is the only safe bound.
+# lifetime is the only safe bound for a lazy handoff. Callers that can
+# tolerate an eager materialization pass `eager_release=True` instead:
+# the scan is absorbed into Spark-managed block storage
+# (localCheckpoint) and the files are deleted immediately, so repeated
+# handoffs in one session do not grow temp disk without bound.
 _SCRATCH_DIRS: list[str] = []
 
 
@@ -49,9 +53,27 @@ def _cleanup_scratch() -> None:
 atexit.register(_cleanup_scratch)
 
 
+def handoff_eligible(spark, nbytes: int) -> bool:
+    """Can a driver-resident matrix of `nbytes` be handed back to Spark
+    without risking the pure-python fallback's boxed-row OOM refusal?
+
+    True when the scratch-parquet path is deployable (local master, or
+    an executor-shared scratch dir is configured) or the matrix is
+    small enough for the portable fallback. Callers choosing between a
+    driver tier and a distributed tier should check this BEFORE doing
+    driver-side work — an ineligible handoff means the distributed
+    plan, not a RuntimeError after the arithmetic is already done."""
+    if nbytes <= PURE_PYTHON_MAX_BYTES:
+        return True
+    if os.environ.get("SPARK_GRAFT_SCRATCH_DIR"):
+        return True
+    return spark.sparkContext.master.startswith("local")
+
+
 def matrix_to_frame(
     spark, ids: np.ndarray, X: np.ndarray,
     id_col: str = "item_id", feat_col: str = "features",
+    eager_release: bool = False,
 ) -> DataFrame:
     """Driver-resident (ids, X) matrix → DataFrame[id long, feat
     array<double>] WITHOUT embedding the data in task binaries.
@@ -73,6 +95,16 @@ def matrix_to_frame(
     takes the pure-python `createDataFrame` path instead (slower, but
     correct under any deployment and any session config). The same
     fallback catches a failed write.
+
+    Disk lifecycle: by default the scratch parquet (up to
+    PURE_PYTHON/driver-tier matrix size per call) lives until
+    interpreter exit, because the returned frame is a lazy scan Spark
+    may re-read at any time. With ``eager_release=True`` the scan is
+    materialized once into Spark-managed block storage
+    (``localCheckpoint(eager=True)``, MEMORY_AND_DISK — the same
+    lineage-cut the distributed diffusion tier already uses) and the
+    scratch dir is deleted before returning, so repeated handoffs in a
+    long-lived session never accumulate temp disk.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -96,7 +128,12 @@ def matrix_to_frame(
         # ~32k rows/group → plenty of split points for the scan
         pq.write_table(tbl, os.path.join(d, "part-0.parquet"),
                        row_group_size=32768)
-        return spark.read.schema(schema).parquet(d)
+        out = spark.read.schema(schema).parquet(d)
+        if eager_release:
+            out = out.localCheckpoint(eager=True)
+            _SCRATCH_DIRS.remove(d)
+            shutil.rmtree(d, ignore_errors=True)
+        return out
     except Exception:  # pragma: no cover - scratch dir unavailable
         return _pure_python_frame(spark, ids, X, schema)
 

@@ -323,32 +323,37 @@ def connected_components(pairs: DataFrame, iters: int | None = 8,
     both = both.unionAll(both.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst"))
                          ).repartition(n_part, "src").persist()
-    lab = both.select("src").unionAll(both.select("dst")).distinct().select(
-        F.col("src").alias("node"), F.col("src").alias("component"))
-    i = 0
-    while iters is None or i < int(iters):
-        i += 1
-        prop = (
-            both.join(lab, both["src"] == lab["node"])
-            .select(F.col("dst").alias("node"), "component")
-            .unionAll(lab.select("node", "component"))
-            .groupBy("node").agg(F.min("component").alias("component"))
-        )
-        # eager checkpoint: truncates lineage NOW, so iteration i+1
-        # plans against a materialized RDD instead of a 2^i-deep plan.
-        new_lab = prop.localCheckpoint(eager=True)
-        converged = (
-            new_lab.join(
-                lab.withColumnRenamed("component", "_old"), "node")
-            .filter(F.col("component") < F.col("_old"))
-            .isEmpty()
-        )
-        lab = new_lab
-        if converged:
-            break
-    # lab is an eager checkpoint — independent of the edge cache
-    both.unpersist()
-    return lab
+    try:
+        lab = both.select("src").unionAll(
+            both.select("dst")).distinct().select(
+            F.col("src").alias("node"), F.col("src").alias("component"))
+        i = 0
+        while iters is None or i < int(iters):
+            i += 1
+            prop = (
+                both.join(lab, both["src"] == lab["node"])
+                .select(F.col("dst").alias("node"), "component")
+                .unionAll(lab.select("node", "component"))
+                .groupBy("node").agg(F.min("component").alias("component"))
+            )
+            # eager checkpoint: truncates lineage NOW, so iteration
+            # i+1 plans against a materialized RDD instead of a
+            # 2^i-deep plan.
+            new_lab = prop.localCheckpoint(eager=True)
+            converged = (
+                new_lab.join(
+                    lab.withColumnRenamed("component", "_old"), "node")
+                .filter(F.col("component") < F.col("_old"))
+                .isEmpty()
+            )
+            lab = new_lab
+            if converged:
+                break
+        # lab is an eager checkpoint — independent of the edge cache
+        return lab
+    finally:
+        # unpersist on error too, not just the success path
+        both.unpersist()
 
 
 GLOBAL_SHARD_MAX_ROWS = 1_000_000

@@ -217,6 +217,7 @@ def auto_graph_params(
     eps_quantile: float = 0.9,
     margin: float = 1.10,
     n_rows: int | None = None,
+    with_diagnostics: bool = False,
 ):
     """Self-tuning graph parameters for `ArrowSpaceBuilder.build(...,
     graph_params='auto')` — the reference's in-build "Auto-computing
@@ -256,6 +257,12 @@ def auto_graph_params(
         raise ValueError("auto graph params need at least 2 items")
     dk = np.partition(D, kk - 1, axis=1)[:, kk - 1]
     dk = dk[np.isfinite(dk)]
-    eps = float(np.quantile(dk, float(eps_quantile))) * float(margin)
-    eps = float(min(1.0, max(eps, 1e-6)))
-    return GraphParams(eps=eps, k=k, topk=k, p=2.0)
+    eps_raw = float(np.quantile(dk, float(eps_quantile)))
+    eps = float(min(1.0, max(eps_raw * float(margin), 1e-6)))
+    params = GraphParams(eps=eps, k=k, topk=k, p=2.0)
+    if with_diagnostics:
+        # eps_raw (the pre-margin, pre-clamp quantile) lets a gate
+        # check the calibration math even when the clamp saturates eps
+        n = int(sugg["n"])
+        return params, {"n": n, "k": k, "kk": kk, "eps_raw": eps_raw}
+    return params

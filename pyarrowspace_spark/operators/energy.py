@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import stats
+from ..functions import matrix as matrix_mod
 from ..functions.matrix import (
     collect_id_matrix,
     matrix_to_frame,
@@ -205,7 +206,11 @@ def _diffuse_driver(
     # task-size warnings at 78k×384) and — under a non-Arrow session
     # like the driver's — feeds numpy float64 to the row verifier,
     # which rejects it (the round-5 CORRECTNESS regression).
-    return matrix_to_frame(spark, ids, X, id_col, feat_col)
+    # eager_release: the scan is absorbed into Spark block storage and
+    # its scratch files deleted at once, so a session building many
+    # indexes doesn't accumulate one N×F parquet per diffuse call.
+    return matrix_to_frame(spark, ids, X, id_col, feat_col,
+                           eager_release=True)
 
 
 def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
@@ -226,7 +231,14 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
         return items.select(id_col, feat_col)
     nf = int(row["f"])
     n = items.count()
-    if n * nf * 8 <= DIFFUSE_BROADCAST_MAX_BYTES:
+    # Driver tier only when the diffused matrix can also be handed
+    # BACK to executors (local master, shared scratch dir, or small
+    # enough for the portable fallback) — otherwise a non-local
+    # deployment with no scratch dir would do all the driver-side
+    # arithmetic and then hit the boxed-row OOM refusal. The
+    # distributed tier below is correct under any deployment.
+    if (n * nf * 8 <= DIFFUSE_BROADCAST_MAX_BYTES
+            and matrix_mod.handoff_eligible(items.sparkSession, n * nf * 8)):
         return _diffuse_driver(items, edges, eta, steps, id_col, feat_col)
     # loop-invariant across steps: symmetrized edges + degrees, each
     # persisted once instead of re-shuffled E rows per step. The edge
@@ -249,17 +261,22 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
     n_groups = int(min(1 << 16, max(64, -(-n_sym_edges // rows_per_group))))
     deg = both.groupBy(F.col("dst").alias(id_col)).agg(
         F.sum("weight").alias("_deg")).persist()
-    out = items.select(id_col, feat_col)
-    last = int(steps) - 1
-    for i in range(int(steps)):
-        out = diffusion_step(out, edges, eta, id_col, feat_col, n_groups,
-                             both=both, deg=deg)
-        # final step checkpoints EAGERLY so the result no longer
-        # depends on both/deg and they can be dropped here, not leaked
-        out = out.localCheckpoint(eager=(i == last))
-    both.unpersist()
-    deg.unpersist()
-    return out
+    try:
+        out = items.select(id_col, feat_col)
+        last = int(steps) - 1
+        for i in range(int(steps)):
+            out = diffusion_step(out, edges, eta, id_col, feat_col,
+                                 n_groups, both=both, deg=deg)
+            # final step checkpoints EAGERLY so the result no longer
+            # depends on both/deg and they can be dropped below, not
+            # leaked
+            out = out.localCheckpoint(eager=(i == last))
+        return out
+    finally:
+        # on error too — a failed step must not leak executor storage
+        # for the session lifetime
+        both.unpersist()
+        deg.unpersist()
 
 
 def trim_edges(edges: DataFrame, trim_quantile: float,
@@ -474,12 +491,20 @@ def build_energy(
     # ADVICE r2 item 5.)
     # One collect of the (≤ ~2·optical_tokens row) centroid table
     # replaces the previous percentile job + filter collect; the cut
-    # uses np.percentile's linear interpolation — bit-identical to
-    # Spark's exact `percentile`, which the oracle replays.
+    # replays Spark's exact `percentile` interpolation lo + frac·
+    # (hi − lo) DIRECTLY rather than np.percentile — numpy's lerp
+    # switches to hi − (hi − lo)·(1 − frac) when frac ≥ 0.5, which
+    # can differ by 1 ulp and flip the strict disp_c > cut comparison
+    # for a centroid landing exactly on the cut (the oracle computes
+    # the Spark form).
     crows = centroids.select("centroid_id", "disp_c").collect()
-    split_cut = float(np.percentile(
-        np.array([r["disp_c"] for r in crows], dtype=np.float64),
-        100.0 * float(eparams.split_quantile)))
+    disp_sorted = np.sort(
+        np.array([r["disp_c"] for r in crows], dtype=np.float64))
+    pos = float(eparams.split_quantile) * (len(disp_sorted) - 1)
+    lo = int(np.floor(pos))
+    hi = min(lo + 1, len(disp_sorted) - 1)
+    split_cut = float(disp_sorted[lo]
+                      + (pos - lo) * (disp_sorted[hi] - disp_sorted[lo]))
     to_split = sorted(
         int(r["centroid_id"]) for r in crows if r["disp_c"] > split_cut)
     if to_split:

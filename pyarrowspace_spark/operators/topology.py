@@ -65,27 +65,31 @@ def personalized_pagerank(
         [(int(s), int(s)) for s in sources], schema="source long, node long"
     ).withColumn("r", F.lit(1.0 - alpha))
 
-    pr = init
-    for _ in range(int(iters)):
-        spread = (
-            pr.join(trans, pr["node"] == trans["src"])
-            .groupBy("source", F.col("dst").alias("node"))
-            .agg((F.lit(alpha) * F.sum(F.col("ppr") * F.col("p"))).alias("ppr"))
-        )
-        pr = (
-            spread.join(restart, ["source", "node"], "outer")
-            .select(
-                "source", "node",
-                (F.coalesce("ppr", F.lit(0.0)) + F.coalesce("r", F.lit(0.0))
-                 ).alias("ppr"),
+    try:
+        pr = init
+        for _ in range(int(iters)):
+            spread = (
+                pr.join(trans, pr["node"] == trans["src"])
+                .groupBy("source", F.col("dst").alias("node"))
+                .agg((F.lit(alpha)
+                      * F.sum(F.col("ppr") * F.col("p"))).alias("ppr"))
             )
-        )
-        pr = pr.localCheckpoint(eager=False)
-    # eager final checkpoint → the result no longer depends on trans,
-    # whose cache would otherwise be held for the session lifetime
-    pr = pr.localCheckpoint(eager=True)
-    trans.unpersist()
-    return pr
+            pr = (
+                spread.join(restart, ["source", "node"], "outer")
+                .select(
+                    "source", "node",
+                    (F.coalesce("ppr", F.lit(0.0))
+                     + F.coalesce("r", F.lit(0.0))).alias("ppr"),
+                )
+            )
+            pr = pr.localCheckpoint(eager=False)
+        # eager final checkpoint → the result no longer depends on
+        # trans, whose cache would otherwise be held for the session
+        # lifetime
+        return pr.localCheckpoint(eager=True)
+    finally:
+        # unpersist on error too, not just the success path
+        trans.unpersist()
 
 
 def conductance(edges: DataFrame, node_set: DataFrame,
@@ -169,33 +173,38 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
     n_part = int(edges.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"))
     both = _both_dirs(edges).repartition(n_part, "src").persist()
-    labels = both.select(F.col("src").alias("node")).distinct().withColumn(
-        "community", F.col("node")
-    )
-    for _ in range(int(iters)):
-        votes = (
-            both.join(labels.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"), "community")
-            .agg(F.sum("weight").alias("w"))
+    try:
+        labels = both.select(
+            F.col("src").alias("node")).distinct().withColumn(
+            "community", F.col("node")
         )
-        w = Window.partitionBy("node").orderBy(
-            F.col("w").desc(), F.col("community").asc()
-        )
-        new_labels = (
-            votes.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("node", "community")
-        )
-        # isolated nodes keep their community
-        labels = (
-            labels.join(new_labels.withColumnRenamed("community", "_new"),
-                        "node", "left")
-            .select("node", F.coalesce("_new", "community").alias("community"))
-            .localCheckpoint(eager=False)
-        )
-    labels = labels.localCheckpoint(eager=True)
-    both.unpersist()
-    return labels
+        for _ in range(int(iters)):
+            votes = (
+                both.join(labels.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"), "community")
+                .agg(F.sum("weight").alias("w"))
+            )
+            w = Window.partitionBy("node").orderBy(
+                F.col("w").desc(), F.col("community").asc()
+            )
+            new_labels = (
+                votes.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("node", "community")
+            )
+            # isolated nodes keep their community
+            labels = (
+                labels.join(
+                    new_labels.withColumnRenamed("community", "_new"),
+                    "node", "left")
+                .select("node",
+                        F.coalesce("_new", "community").alias("community"))
+                .localCheckpoint(eager=False)
+            )
+        return labels.localCheckpoint(eager=True)
+    finally:
+        # unpersist on error too, not just the success path
+        both.unpersist()
 
 
 def greedy_modularity_communities(

@@ -39,13 +39,18 @@ def test_diffuse_empty_items_is_identity(spark):
 
 
 def test_diffuse_driver_tier_returns_scan_not_tasks(spark, test0_items_df):
-    """The driver tier hands X back as a parquet scan (matrix_to_frame)
-    — the plan must contain a FileScan, not a driver-parallelized
-    LocalTableScan whose tasks embed the matrix."""
+    """The driver tier hands X back via a scratch parquet scan
+    (matrix_to_frame) which — since round 7 — is eagerly absorbed into
+    Spark block storage so the scratch files can be reclaimed at once.
+    The contract this pins: the plan must NEVER be a driver-
+    parallelized LocalTableScan whose tasks embed the matrix (the 12 MB
+    task-binary / non-Arrow row-verifier pathology)."""
     edges = _edges_of(spark, test0_items_df)
     out = E.diffuse(test0_items_df, edges, eta=0.05, steps=1)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Scan parquet" in plan or "FileScan" in plan
+    assert "LocalTableScan" not in plan
+    assert "Scan ExistingRDD" in plan or "Scan parquet" in plan \
+        or "FileScan" in plan
 
 
 def test_search_energy_batch_equals_per_query(spark, test0_items_df):
