@@ -94,10 +94,19 @@ def main() -> None:
     # confounded a second way — a degraded-VM day measured memcpy at
     # 0.1 GB/s (reads a healthy 11 GB/s), inflating every allocation-
     # heavy phase ~40% with zero code change. 100 MB copy, ~1 s worst.
+    # Cold copy (includes first-touch page faults — dominated by the
+    # kernel's fault path, not memory bandwidth) AND a warm copy into
+    # the same buffer. Round 6 taught us the distinction matters: an
+    # idle freshly-booted host probed 0.15 GB/s cold but 9+ GB/s warm;
+    # the cold number alone mislabels a healthy host as degraded.
     _buf = np.random.standard_normal(100_000_000 // 8)
     _t0 = time.time()
     _buf2 = _buf.copy()
     extra["host_memcpy_gbps"] = round(0.1 / max(time.time() - _t0, 1e-9), 2)
+    _t0 = time.time()
+    _buf2[:] = _buf
+    extra["host_memcpy_warm_gbps"] = round(
+        0.1 / max(time.time() - _t0, 1e-9), 2)
     del _buf, _buf2
 
     def timed(name, fn):
