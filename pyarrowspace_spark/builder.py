@@ -131,11 +131,9 @@ class ArrowSpaceIndex:
     def load(cls, spark, path: str) -> "ArrowSpaceIndex":
         """Reopen a saved index: tables stay lazy/distributed, only the
         F×F Laplacian and metadata hit the driver."""
-        lf_rows = (
-            spark.read.parquet(f"{path}/feature_laplacian")
-            .orderBy("row_idx").collect()
-        )
-        lf = np.array([r["row"] for r in lf_rows], dtype=np.float64)
+        from .functions.matrix import laplacian_from_parquet
+
+        lf = laplacian_from_parquet(spark, f"{path}/feature_laplacian")
         meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
         # normalise/seed are load-bearing for extend(): a normalise=True
         # index reopened without them would append un-normalized vectors

@@ -161,6 +161,16 @@ def _pure_python_frame(spark, ids: np.ndarray, X: np.ndarray,
         schema=schema)
 
 
+def laplacian_from_parquet(spark, path: str) -> np.ndarray:
+    """Reopen a saved F×F Laplacian (schema [row_idx long, row
+    array<double>]) as a dense float64 matrix via the Arrow columnar
+    path — same contract as the Row-collect form but without boxing
+    F×F floats through Row objects (house style for every other
+    matrix collection; see module docstring)."""
+    pdf = spark.read.parquet(path).orderBy("row_idx").toPandas()
+    return np.stack(pdf["row"].to_numpy()).astype(np.float64)
+
+
 def sorted_index(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Precompute (sorted_ids, order) for `positions_of` lookups."""
     order = np.argsort(ids, kind="stable").astype(np.int64)

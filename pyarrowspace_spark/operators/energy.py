@@ -351,11 +351,8 @@ class EnergyIndex:
         only the F×F Laplacian and the param dicts hit the driver."""
         import json as _json
 
-        lf_rows = (
-            spark.read.parquet(f"{path}/feature_laplacian")
-            .orderBy("row_idx").collect()
-        )
-        lf = np.array([r["row"] for r in lf_rows], dtype=np.float64)
+        lf = matrix_mod.laplacian_from_parquet(
+            spark, f"{path}/feature_laplacian")
         meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
         return cls(
             items=spark.read.parquet(f"{path}/items"),

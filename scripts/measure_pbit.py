@@ -67,6 +67,10 @@ def main() -> None:
     _t0 = time.time()
     _buf2 = _buf.copy()
     out["host_memcpy_gbps"] = round(0.1 / max(time.time() - _t0, 1e-9), 2)
+    _t0 = time.time()
+    _buf2[:] = _buf  # warm copy: bandwidth without first-touch faults
+    out["host_memcpy_warm_gbps"] = round(
+        0.1 / max(time.time() - _t0, 1e-9), 2)
     del _buf, _buf2
 
     spark = get_spark("pbit-measure")
