@@ -53,6 +53,38 @@ def _cleanup_scratch() -> None:
 atexit.register(_cleanup_scratch)
 
 
+def driver_result_capacity(spark) -> int:
+    """`spark.driver.maxResultSize` in bytes (0 = unlimited → maxsize).
+
+    Every driver-side matrix collect is bounded by this limit — a
+    collect over it doesn't spill or degrade, it ABORTS the job
+    ("Total size of serialized results ... bigger than
+    spark.driver.maxResultSize"). Tier choices that plan to collect
+    N·F doubles must therefore consult it up front: the N=600k p_bit
+    measurement crashed exactly here, picking the broadcast-gather
+    Laplacian tier (well under its 2M-row ceiling) on a session whose
+    1 GiB default allowed only ~330k rows at F=384."""
+    import sys
+
+    raw = str(spark.conf.get("spark.driver.maxResultSize", "1g")).strip()
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    low = raw.lower().removesuffix("b")
+    mult = units.get(low[-1:], None)
+    try:
+        nbytes = (int(float(low[:-1]) * mult) if mult is not None
+                  else int(float(low)))
+    except ValueError:  # unparseable → assume the conservative default
+        nbytes = 1024**3
+    return sys.maxsize if nbytes == 0 else nbytes
+
+
+def collect_eligible(spark, nbytes: int) -> bool:
+    """Would an Arrow collect of `nbytes` survive the session's
+    `spark.driver.maxResultSize`? 0.8 margin covers the id column and
+    Arrow batch framing on top of the raw value bytes."""
+    return nbytes <= 0.8 * driver_result_capacity(spark)
+
+
 def handoff_eligible(spark, nbytes: int) -> bool:
     """Can a driver-resident matrix of `nbytes` be handed back to Spark
     without risking the pure-python fallback's boxed-row OOM refusal?

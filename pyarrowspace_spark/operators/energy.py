@@ -93,6 +93,17 @@ def diffusion_step(
     left joins. Per-step shuffle is O(E·F + 2·N·F) values, linear in
     the corpus.
 
+    Measured negative result (round 7), kept so it isn't re-tried: a
+    pure-JVM formulation of the per-dst sum —
+    `Summarizer.sum(array_to_vector(_xf), weight)` grouped by dst,
+    avoiding all Arrow→Python transfer — measured 246 s/step vs this
+    kernel's 173 s at N=313k, E_sym=9.4M, F=384 on the same persisted
+    inputs. With N-scale group cardinality the typed-imperative
+    aggregate can't hold its hash map (313k groups × 3 KB vector
+    buffers/partition) and falls back to sort-based merging of the
+    3 KB message rows, which loses to this kernel's batched segment
+    matvec despite the Arrow round-trip.
+
     `n_groups` bounds each grouped kernel's buffer: applyInPandas
     materializes a whole group, so a FIXED group count is a hidden
     per-task O(E/groups·F) — 15 GB/group at E=2.5B, F=384 under the
@@ -231,13 +242,17 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
         return items.select(id_col, feat_col)
     nf = int(row["f"])
     n = items.count()
-    # Driver tier only when the diffused matrix can also be handed
-    # BACK to executors (local master, shared scratch dir, or small
-    # enough for the portable fallback) — otherwise a non-local
-    # deployment with no scratch dir would do all the driver-side
-    # arithmetic and then hit the boxed-row OOM refusal. The
-    # distributed tier below is correct under any deployment.
+    # Driver tier only when (a) collecting X survives the session's
+    # spark.driver.maxResultSize (a collect over it ABORTS the job —
+    # the row/byte ceiling alone is not eligibility), and (b) the
+    # diffused matrix can be handed BACK to executors (local master,
+    # shared scratch dir, or small enough for the portable fallback) —
+    # otherwise a non-local deployment with no scratch dir would do
+    # all the driver-side arithmetic and then hit the boxed-row OOM
+    # refusal. The distributed tier below is correct under any
+    # deployment.
     if (n * nf * 8 <= DIFFUSE_BROADCAST_MAX_BYTES
+            and matrix_mod.collect_eligible(items.sparkSession, n * nf * 8)
             and matrix_mod.handoff_eligible(items.sparkSession, n * nf * 8)):
         return _diffuse_driver(items, edges, eta, steps, id_col, feat_col)
     # loop-invariant across steps: symmetrized edges + degrees, each

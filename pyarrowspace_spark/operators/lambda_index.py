@@ -78,10 +78,17 @@ def feature_laplacian(
     """
     from .knn import EXACT_PATH_MAX_ROWS
 
-    from ..functions.matrix import collect_id_matrix, positions_of, sorted_index
+    from ..functions.matrix import (collect_eligible, collect_id_matrix,
+                                    positions_of, sorted_index)
 
     n = items.count()
-    if n <= EXACT_PATH_MAX_ROWS:
+    # Both driver tiers collect X (N·F doubles): a collect over
+    # spark.driver.maxResultSize ABORTS the job rather than spilling,
+    # so the row ceilings alone aren't sufficient eligibility — the
+    # session's own result limit is (N=600k on a default-1g session
+    # sits under the 2M-row ceiling yet needs a 1.8 GB collect).
+    x_fits = collect_eligible(items.sparkSession, n * n_features * 8)
+    if n <= EXACT_PATH_MAX_ROWS and x_fits:
         ids_arr, X = collect_id_matrix(items, id_col, feat_col)
         s_ids, order = sorted_index(ids_arr)
         e_pdf = edges.select("src", "dst", "weight").toPandas()
@@ -97,7 +104,7 @@ def feature_laplacian(
             lf -= C + C.T
         return (lf + lf.T) / 2.0
 
-    if n <= BROADCAST_GATHER_MAX_ROWS:
+    if n <= BROADCAST_GATHER_MAX_ROWS and x_fits:
         spark = items.sparkSession
         ids_arr, X = collect_id_matrix(items, id_col, feat_col)
         s_ids, order = sorted_index(ids_arr)

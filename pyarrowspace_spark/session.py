@@ -70,6 +70,14 @@ def get_spark(
         # Deterministic timestamps across engines (oracle parity).
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # The driver-BLAS tiers legally collect up to the 4 GiB diffuse
+        # ceiling; Spark's 1g default would abort those collects
+        # mid-job between ~330k and 2M rows at F=384. Tier selection
+        # also consults this limit at runtime (functions.matrix.
+        # collect_eligible), so a foreign session with the 1g default
+        # degrades to the distributed tiers instead of crashing.
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         # Long multi-phase jobs (the at-scale bench) accumulate shuffle

@@ -125,3 +125,80 @@ def test_auto_graph_params_diagnostics_contract(spark, test0_items_df):
     assert params.k == info["k"] and params.topk == info["k"]
     want_eps = min(1.0, max(info["eps_raw"] * 1.10, 1e-6))
     assert params.eps == pytest.approx(want_eps, rel=0, abs=0)
+
+
+class _FakeConf:
+    def __init__(self, val):
+        self._v = val
+
+    def get(self, key, default=None):
+        return self._v if self._v is not None else default
+
+
+class _FakeSpark:
+    def __init__(self, val):
+        self.conf = _FakeConf(val)
+
+
+def test_driver_result_capacity_parses_spark_size_strings():
+    """The maxResultSize conf comes back as Spark size strings; the
+    parser must handle unit suffixes, bare bytes, 0=unlimited, and
+    fall back conservatively on garbage."""
+    import sys
+
+    assert M.driver_result_capacity(_FakeSpark("1g")) == 1024**3
+    assert M.driver_result_capacity(_FakeSpark("512m")) == 512 * 1024**2
+    assert M.driver_result_capacity(_FakeSpark("2G")) == 2 * 1024**3
+    assert M.driver_result_capacity(_FakeSpark("1536k")) == 1536 * 1024
+    assert M.driver_result_capacity(_FakeSpark("2048")) == 2048
+    assert M.driver_result_capacity(_FakeSpark("0")) == sys.maxsize
+    assert M.driver_result_capacity(_FakeSpark(None)) == 1024**3
+    assert M.driver_result_capacity(_FakeSpark("bogus")) == 1024**3
+
+
+def test_laplacian_falls_back_distributed_when_collect_too_big(
+        spark, test0_items_df, monkeypatch):
+    """A collect over spark.driver.maxResultSize ABORTS the job, so
+    the driver-BLAS Laplacian tiers must not be picked when X would
+    not fit — the fully distributed tier computes the same L_F (the
+    N=600k p_bit run crashed on exactly this tier mis-selection)."""
+    from pyarrowspace_spark.operators import knn as KNN
+    from pyarrowspace_spark.operators import lambda_index as L
+
+    edges = KNN.knn_edges(test0_items_df, GP, strategy="exact")
+    nf = len(test0_items_df.first()["features"])
+    want = L.feature_laplacian(test0_items_df, edges, nf)
+
+    def _no_collect(*a, **k):
+        raise AssertionError("driver tier collected X despite "
+                             "maxResultSize ineligibility")
+
+    monkeypatch.setattr(M, "collect_eligible", lambda s, b: False)
+    monkeypatch.setattr(M, "collect_id_matrix", _no_collect)
+    got = L.feature_laplacian(test0_items_df, edges, nf)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_diffuse_respects_max_result_size(spark, test0_items_df,
+                                          monkeypatch):
+    """Same contract for diffuse's driver tier: collect-ineligible →
+    distributed tier, identical values."""
+    from pyarrowspace_spark.operators import knn as KNN
+
+    edges = KNN.knn_edges(test0_items_df, GP, strategy="exact")
+    want = {r["item_id"]: r["features"]
+            for r in E.diffuse(test0_items_df, edges,
+                               eta=0.05, steps=2).collect()}
+    monkeypatch.setattr(M, "collect_eligible", lambda s, b: False)
+
+    def _no_driver_tier(*a, **k):
+        raise AssertionError("driver tier taken despite collect "
+                             "ineligibility")
+
+    monkeypatch.setattr(E, "_diffuse_driver", _no_driver_tier)
+    got = {r["item_id"]: r["features"]
+           for r in E.diffuse(test0_items_df, edges,
+                              eta=0.05, steps=2).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9, abs=1e-12)
