@@ -108,6 +108,19 @@ def main() -> None:
     extra["host_memcpy_warm_gbps"] = round(
         0.1 / max(time.time() - _t0, 1e-9), 2)
     del _buf, _buf2
+    # Compute probe: fixed 1024³ f64 gemm (~2.1 GFLOP) through the
+    # same BLAS every kernel uses. Round 7 measured the unchanged-code
+    # exact scan 2× slower than round 6 on an idle host — memcpy and
+    # loadavg alone can't separate "loaded" from "slower silicon";
+    # GFLOPS on a fixed problem can.
+    _a = np.random.standard_normal((1024, 1024))
+    _a @ _a  # BLAS warm-up / thread spin-up outside the timing
+    _t0 = time.time()
+    for _ in range(4):
+        _a @ _a
+    extra["host_gemm_gflops"] = round(
+        4 * 2 * 1024**3 / 1e9 / max(time.time() - _t0, 1e-9), 1)
+    del _a
 
     def timed(name, fn):
         t0 = time.time()

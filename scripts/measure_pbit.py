@@ -72,6 +72,14 @@ def main() -> None:
     out["host_memcpy_warm_gbps"] = round(
         0.1 / max(time.time() - _t0, 1e-9), 2)
     del _buf, _buf2
+    _a = np.random.standard_normal((1024, 1024))
+    _a @ _a  # BLAS warm-up outside the timing (see bench.py probe)
+    _t0 = time.time()
+    for _ in range(4):
+        _a @ _a
+    out["host_gemm_gflops"] = round(
+        4 * 2 * 1024**3 / 1e9 / max(time.time() - _t0, 1e-9), 1)
+    del _a
 
     spark = get_spark("pbit-measure")
     import __spark_entry__ as entry_mod
