@@ -31,6 +31,7 @@ Arrow-batched vectorized map. No N×N materialization anywhere.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -71,7 +72,10 @@ def feature_laplacian(
       per-partition partials over the EDGE list only (24 B/row) with
       numpy row-gather + gemm. The join path below would shuffle
       2·E·F doubles (~17 GB at N=78k, k=25) to move vectors to edges;
-      this tier moves 0 vectors and the same F² partials.
+      this tier moves 0 vectors and the same F² partials. Each Python
+      worker holds its own copy of the X broadcast, so the stage
+      coalesces to ≤ $SPARK_GRAFT_GATHER_MEM/X_bytes concurrent
+      workers (default budget 32 GiB).
     - beyond: fully distributed joins + partial aggregation — no
       broadcast of anything N-sized; communication is #partitions × F²
       doubles. The only tier legal at 100 TB.
@@ -137,8 +141,23 @@ def feature_laplacian(
             yield pd.DataFrame({"partial": acc.ravel()})
 
         schema = StructType([StructField("partial", DoubleType(), False)])
-        parts = edges.select("src", "dst", "weight").mapInPandas(
-            edge_partials, schema=schema).collect()
+        # Every Python worker that runs a partition unpickles its OWN
+        # copy of the X broadcast, so this stage's real footprint is
+        # concurrent_workers × X_bytes — 32 × 1.84 GB = 59 GB at
+        # N=600k, F=384, which OOM-killed the 125 GB p_bit host (the
+        # JVM, not the collect, died). Coalesce the edge scan so the
+        # copies stay inside a budget; the per-partition gemm work
+        # just gets bigger, which BLAS prefers anyway.
+        budget = int(os.environ.get("SPARK_GRAFT_GATHER_MEM",
+                                    str(32 << 30)))
+        max_workers = max(2, int(budget // max(X.nbytes, 1)))
+        e_scan = edges.select("src", "dst", "weight")
+        if spark.sparkContext.defaultParallelism > max_workers:
+            e_scan = e_scan.coalesce(max_workers)
+        parts = e_scan.mapInPandas(edge_partials, schema=schema).collect()
+        # free the JVM/disk/worker copies eagerly — the tier is done
+        b_X.destroy()
+        b_idx.destroy()
         flat = np.array([r["partial"] for r in parts], dtype=np.float64)
         lf = flat.reshape(-1, fdim, fdim).sum(axis=0)
         return (lf + lf.T) / 2.0
