@@ -36,12 +36,18 @@ def lsh_hyperplanes(dim: int, n_tables: int = DEFAULT_N_TABLES,
 # auto_lsh_tables p_bit calibration (measured recall@15 of `search_ann`
 # vs exact `search`, 4 tables × 10 planes, Hamming-1 probing, inverted
 # through the hit model below): p_bit ≈ 0.816 at N=6,000, 0.838 at
-# N=78,580, 0.818 at N=313,841 — NON-monotone sub-calibration noise
-# (~±0.01), so below the anchor we hold the conservative anchor value
-# (6 tables at target 0.95, measured ≥0.95 at 78k and 313k) instead of
-# extrapolating p_bit upward; above it we decay p_bit with ln N at the
-# spread's slope — the growth direction is the one that demonstrably
-# hurts (fixed 4 tables: 0.9387 @78k → 0.8960 @313k).
+# N=78,580, 0.818 at N=313,841, 0.8162 at N=600,000 — NON-monotone
+# sub-calibration noise (~±0.01), so below the anchor we hold the
+# conservative anchor value (6 tables at target 0.95, measured ≥0.95
+# at 78k and 313k) instead of extrapolating p_bit upward; above it we
+# decay p_bit with ln N at the spread's slope — the growth direction
+# is the one that demonstrably hurts (fixed 4 tables: 0.9387 @78k →
+# 0.8960 @313k → 0.8920 @600k). The 600k point (round 7,
+# PBIT_600k_r07.json) is the first measurement BEYOND the anchor and
+# confirms the decay model errs conservative there: measured 0.8162 ≥
+# modeled 0.8086, so the schedule's 6 tables (predicted recall 0.9645
+# under the measured p_bit) over-provisions slightly rather than
+# under-delivering.
 _PBIT_ANCHOR_N = 313_841.0
 _PBIT_ANCHOR = 0.818
 _PBIT_PER_NAT = 0.0145
