@@ -17,6 +17,13 @@ Usage:  PBIT_N=600000 python scripts/measure_pbit.py
 Prints one JSON line with the measured recall, inverted p_bit, the
 auto_lsh_tables model's predicted p_bit at that N, and host
 self-description fields (loadavg / memcpy probe) for artifact honesty.
+
+Disk sizing (round 7, measured): the LSH build's shuffle spill peaks
+at roughly 55-65 GB per million rows at F=384 on this harness. N=600k
+fits the round-7 host's ~76 GB usable scratch; an N=1M attempt filled
+the disk (100%) within 10 minutes of the build and was aborted —
+budget ~1.5x the projected spill, or point spark.local.dir at bigger
+storage, before trying beyond 600k here.
 """
 
 from __future__ import annotations
