@@ -202,3 +202,11 @@ def test_diffuse_respects_max_result_size(spark, test0_items_df,
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-9, abs=1e-12)
+
+
+def test_session_default_capacity_admits_driver_tier_ceiling(spark):
+    """get_spark defaults spark.driver.maxResultSize to 8g, so the
+    4 GiB diffuse driver-tier ceiling is collect-eligible under the
+    engine's own sessions (the whole point of raising the default)."""
+    assert M.collect_eligible(spark, 4 * 1024**3)
+    assert not M.collect_eligible(spark, 100 * 1024**3)
