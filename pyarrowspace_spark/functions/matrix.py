@@ -66,16 +66,25 @@ def driver_result_capacity(spark) -> int:
     1 GiB default allowed only ~330k rows at F=384."""
     import sys
 
-    raw = str(spark.conf.get("spark.driver.maxResultSize", "1g")).strip()
-    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
-    low = raw.lower().removesuffix("b")
+    raw = str(spark.conf.get("spark.driver.maxResultSize", "1g"))
+    nbytes = parse_size_bytes(raw, default=1024**3)
+    return sys.maxsize if nbytes == 0 else nbytes
+
+
+def parse_size_bytes(raw: str, default: int) -> int:
+    """Spark-style size string → bytes ("2g", "512m", "1t", "1p", bare
+    int = bytes). Falls back to `default` on anything unparseable —
+    the callers' failure direction is conservative (smaller assumed
+    capacity → distributed tier), never a crash mid-build."""
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4,
+             "p": 1024**5}
+    low = str(raw).strip().lower().removesuffix("b")
     mult = units.get(low[-1:], None)
     try:
-        nbytes = (int(float(low[:-1]) * mult) if mult is not None
-                  else int(float(low)))
-    except ValueError:  # unparseable → assume the conservative default
-        nbytes = 1024**3
-    return sys.maxsize if nbytes == 0 else nbytes
+        return (int(float(low[:-1]) * mult) if mult is not None
+                else int(float(low)))
+    except ValueError:
+        return default
 
 
 def collect_eligible(spark, nbytes: int) -> bool:

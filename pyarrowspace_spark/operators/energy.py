@@ -253,7 +253,16 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
     # deployment.
     if (n * nf * 8 <= DIFFUSE_BROADCAST_MAX_BYTES
             and matrix_mod.collect_eligible(items.sparkSession, n * nf * 8)
-            and matrix_mod.handoff_eligible(items.sparkSession, n * nf * 8)):
+            and matrix_mod.handoff_eligible(items.sparkSession, n * nf * 8)
+            # The driver tier ALSO collects the symmetrized edge list
+            # (2·E rows × 24 B + framing, energy.py _diffuse_driver);
+            # on a session whose maxResultSize barely admits X, a
+            # high-degree graph's edge collect can still abort AFTER
+            # the X collect succeeded — so it needs its own
+            # eligibility check. edges.count() is cheap (narrow frame,
+            # usually already persisted by build_energy).
+            and matrix_mod.collect_eligible(
+                items.sparkSession, edges.count() * 2 * 24)):
         return _diffuse_driver(items, edges, eta, steps, id_col, feat_col)
     # loop-invariant across steps: symmetrized edges + degrees, each
     # persisted once instead of re-shuffled E rows per step. The edge

@@ -148,11 +148,21 @@ def feature_laplacian(
         # JVM, not the collect, died). Coalesce the edge scan so the
         # copies stay inside a budget; the per-partition gemm work
         # just gets bigger, which BLAS prefers anyway.
-        budget = int(os.environ.get("SPARK_GRAFT_GATHER_MEM",
-                                    str(32 << 30)))
+        # Suffix-aware parse ("32g" works, like the sibling
+        # SPARK_GRAFT_MAX_RESULT/DRIVER_MEM vars); bare ints are bytes.
+        from ..functions.matrix import parse_size_bytes
+
+        budget = parse_size_bytes(
+            os.environ.get("SPARK_GRAFT_GATHER_MEM", str(32 << 30)),
+            default=32 << 30)
         max_workers = max(2, int(budget // max(X.nbytes, 1)))
         e_scan = edges.select("src", "dst", "weight")
-        if spark.sparkContext.defaultParallelism > max_workers:
+        # Bound by the scan's ACTUAL partition count, not
+        # defaultParallelism (a session-start snapshot that dynamic
+        # allocation can outgrow): concurrency can never exceed the
+        # partition count, so this caps worker copies of the X
+        # broadcast under any executor scaling.
+        if e_scan.rdd.getNumPartitions() > max_workers:
             e_scan = e_scan.coalesce(max_workers)
         parts = e_scan.mapInPandas(edge_partials, schema=schema).collect()
         # free the JVM/disk/worker copies eagerly — the tier is done
