@@ -19,6 +19,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# BLAS/OMP thread pinning — set BEFORE numpy loads (OpenBLAS reads the
+# env at library init). Without this, every one of the 32 concurrent
+# Python workers spins up a default-width (=ncpu) BLAS pool for its
+# small batch gemms — ~1024 busy-spinning threads of oversubscription,
+# the prime suspect for the round-7 same-day 830 s-vs-494 s build
+# spread. Workers pin to 1 thread (their parallelism IS the 32 tasks);
+# the driver keeps a full-width pool for its serial-phase kernels
+# (driver-tier diffusion, Lloyd, exact scans) where executors are
+# idle. Both knobs are recorded in the artifact's `extra`.
+_DRIVER_BLAS = os.environ.get(
+    "SPARK_GRAFT_DRIVER_BLAS_THREADS",
+    os.environ.get("SPARK_GRAFT_CPUS", "32"))
+_WORKER_BLAS = os.environ.get("SPARK_GRAFT_WORKER_BLAS_THREADS", "1")
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ[_v] = _DRIVER_BLAS
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -79,11 +95,21 @@ def _sampled_edge_recall(parquet_path: str, lsh_edges, eps: float, k: int,
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark("pyarrowspace-bench")
+    # Worker-side BLAS pinning rides spark.executorEnv.* — applied to
+    # every Python worker at spawn (works in local mode too: the env
+    # overrides ship with each python function). The driver-process
+    # pinning happened above, pre-numpy.
+    spark = get_spark("pyarrowspace-bench", extra_conf={
+        f"spark.executorEnv.{v}": _WORKER_BLAS
+        for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                  "MKL_NUM_THREADS")
+    })
     entry_mod._ship_package(spark)
 
     timings: dict[str, float] = {}
     extra: dict[str, object] = {}
+    extra["blas_threads_driver"] = int(_DRIVER_BLAS)
+    extra["blas_threads_worker"] = int(_WORKER_BLAS)
     # Host-load self-description: cross-round bench comparisons were
     # repeatedly confounded by external container load (same commit
     # swung 120->217 s under load ~13). Record the 1/5/15-min load
@@ -281,9 +307,24 @@ def main() -> None:
         # missing). Expected within noise of the in-memory number:
         # the query side is broadcast, so the corpus side never
         # exchanges in either shape.
+        # r7 verdict #2: the plain-parquet write produced one 3.7x
+        # same-day saved-read outlier (56.6 s vs 15.5 s). Write through
+        # the engine's bucketed-table save instead (the same machinery
+        # as ArrowSpaceIndex.save(table_prefix=...)): repartition on
+        # item_id FIRST so each task holds exactly one bucket's rows —
+        # 32 files instead of tasks x buckets fragments — and the
+        # saved table is sorted, bucketed, and id-join-co-located for
+        # any downstream rescore/extend. The serving join itself
+        # broadcasts the query side, so the corpus never exchanges in
+        # either shape (pinned by tests/test_round8_fixes plan test).
         saved_dir = os.path.join(cache, f"hashed_n{scale_n}")
-        hashed.write.mode("overwrite").parquet(saved_dir)
-        reopened = spark.read.parquet(saved_dir)
+        n_buckets = 32
+        (hashed.repartition(n_buckets, "item_id")
+         .write.mode("overwrite").format("parquet")
+         .bucketBy(n_buckets, "item_id").sortBy("item_id")
+         .option("path", saved_dir)
+         .saveAsTable(f"bench_hashed_n{scale_n}"))
+        reopened = spark.table(f"bench_hashed_n{scale_n}")
         timed("lsh_ann_search_saved_50q_at_scale", lambda: search_ann(
             reopened, bidx.feature_laplacian, qdf50, tau=0.62, k=15,
             planes=planes).collect())
@@ -351,6 +392,16 @@ def main() -> None:
                 timed("diffuse_distributed_1step_at_scale",
                       lambda: energy_mod.diffuse(
                           big, bidx.edges, eta=0.05, steps=1).count())
+                # r7 verdict #3: does step 2+ amortize? Step 1 pays the
+                # both/deg persist materialization (the loop-invariant
+                # symmetrize+degree shuffle); the marginal cost of a
+                # second step is the honest per-step constant at scale.
+                timed("diffuse_distributed_2step_at_scale",
+                      lambda: energy_mod.diffuse(
+                          big, bidx.edges, eta=0.05, steps=2).count())
+                extra["diffuse_step2_marginal_sec"] = round(
+                    timings["diffuse_distributed_2step_at_scale"]
+                    - timings["diffuse_distributed_1step_at_scale"], 3)
             finally:
                 energy_mod.DIFFUSE_BROADCAST_MAX_BYTES = ceil0
 

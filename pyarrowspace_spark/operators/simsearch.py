@@ -40,17 +40,22 @@ def lsh_hyperplanes(dim: int, n_tables: int = DEFAULT_N_TABLES,
 # sub-calibration noise (~±0.01), so below the anchor we hold the
 # conservative anchor value (6 tables at target 0.95, measured ≥0.95
 # at 78k and 313k) instead of extrapolating p_bit upward; above it we
-# decay p_bit with ln N at the spread's slope — the growth direction
-# is the one that demonstrably hurts (fixed 4 tables: 0.9387 @78k →
-# 0.8960 @313k → 0.8920 @600k). The 600k point (round 7,
-# PBIT_600k_r07.json) is the first measurement BEYOND the anchor and
-# confirms the decay model errs conservative there: measured 0.8162 ≥
-# modeled 0.8086, so the schedule's 6 tables (predicted recall 0.9645
-# under the measured p_bit) over-provisions slightly rather than
-# under-delivering.
+# decay p_bit with ln N — the growth direction is the one that
+# demonstrably hurts (fixed 4 tables: 0.9387 @78k → 0.8960 @313k →
+# 0.8920 @600k).
+#
+# Slope refit on the four measured points (round 8): the full-range
+# LSQ slope is −0.0002/nat — flat within the noise band — and the
+# at/beyond-anchor pair (313k→600k) measures +0.0028/nat. The decay
+# is kept at 2× that measured beyond-anchor slope (0.006/nat): still
+# conservative in direction at every measured point (600k: predicted
+# 0.8141 ≤ measured 0.8162, PBIT_600k_r07.json) but no longer the
+# original two-point 0.0145 that under-predicted the 600k measurement
+# by a full noise band — at N=1M the schedule now stays at 6 tables
+# (predicted recall 0.958) instead of over-provisioning a 7th.
 _PBIT_ANCHOR_N = 313_841.0
 _PBIT_ANCHOR = 0.818
-_PBIT_PER_NAT = 0.0145
+_PBIT_PER_NAT = 0.006
 
 
 def auto_lsh_tables(n_planes: int, target_recall: float = 0.95,

@@ -205,14 +205,16 @@ def test_auto_lsh_tables_schedule():
     # 0.818@313k), so the conservative anchor holds — 6 tables
     # everywhere ≤313k (4 tables measured 0.89 at N=6k, under target);
     # beyond, p_bit decays with ln N, so the count is monotone
-    # non-decreasing, and the cap holds. The first beyond-anchor
-    # measurement (round 7, N=600k: p_bit 0.8162 ≥ modeled 0.8086,
-    # fixed-4-tables recall 0.8920) confirmed the decay direction is
-    # conservative; the rule still schedules 6 tables there.
+    # non-decreasing, and the cap holds. Decay slope refit round 8 on
+    # the four measured points (see simsearch module constants):
+    # 0.006/nat — conservative at the 600k measurement (predicted
+    # 0.8141 ≤ measured 0.8162, PBIT_600k_r07.json) without the old
+    # two-point slope's over-provisioning (a 7th table at N=1M).
     assert auto_lsh_tables(10, 0.95, n_items=6_000) == 6
     assert auto_lsh_tables(10, 0.95, n_items=313_841) == 6
     assert auto_lsh_tables(10, 0.95, n_items=78_580) == 6
     assert auto_lsh_tables(10, 0.95, n_items=600_000) == 6
+    assert auto_lsh_tables(10, 0.95, n_items=1_000_000) == 6
     for lo, hi in [(78_580, 313_841), (313_841, 10_000_000),
                    (10_000_000, 1_000_000_000)]:
         assert (auto_lsh_tables(10, 0.95, n_items=lo)

@@ -6,6 +6,7 @@ symmetrized edge collect does)."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from pyarrowspace_spark.functions import matrix as M
 from pyarrowspace_spark.operators import energy as E
@@ -99,3 +100,58 @@ def test_diffuse_checks_edge_collect_eligibility(spark, test0_items_df,
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-9, abs=1e-12)
+
+
+def test_saved_serving_join_no_corpus_exchange(spark, tmp_path):
+    """r7 verdict #2 (serving shape): the bench now persists the
+    hashed corpus through the bucketed-table save. The serving join
+    from the REOPENED table must broadcast the query side and never
+    exchange the corpus side, and the planes fingerprint must survive
+    the catalog round trip (a wrong-planes reopen still errors)."""
+    import io
+    import contextlib
+
+    from pyarrowspace_spark.builder import ArrowSpaceBuilder
+    from pyarrowspace_spark.operators.search import search_ann
+    from pyarrowspace_spark.operators.simsearch import (lsh_hyperplanes,
+                                                        with_lsh_buckets)
+    from pyarrowspace_spark.sources import loaders
+
+    items = loaders.items_from_embeddings(
+        spark, "/root/testdata/sf0.001").select("item_id", "features")
+    idx = ArrowSpaceBuilder.build(
+        items, {"eps": 0.95, "k": 5, "topk": 3, "p": 2.0},
+        strategy="exact")
+    planes = lsh_hyperplanes(
+        len(items.first()["features"]), n_tables=2, n_planes=4)
+    hashed = with_lsh_buckets(
+        idx.items.select("item_id", "features", "e_raw", "g"), planes)
+    spark.sql("DROP TABLE IF EXISTS t8_hashed")
+    (hashed.repartition(4, "item_id")
+     .write.format("parquet").bucketBy(4, "item_id").sortBy("item_id")
+     .option("path", str(tmp_path / "hashed"))
+     .saveAsTable("t8_hashed"))
+    reopened = spark.table("t8_hashed")
+
+    qdf = items.limit(2).select(
+        F.col("item_id").alias("query_id"), "features")
+    out = search_ann(reopened, idx.feature_laplacian, qdf,
+                     tau=0.62, k=3, planes=planes)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # query side broadcasts; the only Exchange below the serving join
+    # is that broadcast — the corpus scan feeds the join in place
+    assert "BroadcastExchange" in plan
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in corpus_side
+    assert out.count() > 0
+
+    # fingerprint survived the catalog round trip: mismatched planes
+    # must error, not silently return near-empty candidates
+    wrong = lsh_hyperplanes(planes.shape[2], n_tables=2, n_planes=4,
+                            seed=99)
+    with pytest.raises(ValueError, match="fingerprint"):
+        search_ann(reopened, idx.feature_laplacian, qdf,
+                   tau=0.62, k=3, planes=wrong)
