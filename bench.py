@@ -100,9 +100,14 @@ def main() -> None:
     # overrides ship with each python function). The driver-process
     # pinning happened above, pre-numpy.
     spark = get_spark("pyarrowspace-bench", extra_conf={
-        f"spark.executorEnv.{v}": _WORKER_BLAS
-        for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
-                  "MKL_NUM_THREADS")
+        # zstd compresses the diffusion/build shuffle blocks denser
+        # than the lz4 default — the at-scale phases are scratch-disk
+        # bound before they are CPU bound (the first r8 run DIED on
+        # "no space left on device" in the diffusion timing).
+        "spark.io.compression.codec": "zstd",
+        **{f"spark.executorEnv.{v}": _WORKER_BLAS
+           for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                     "MKL_NUM_THREADS")},
     })
     entry_mod._ship_package(spark)
 
@@ -148,10 +153,31 @@ def main() -> None:
         4 * 2 * 1024**3 / 1e9 / max(time.time() - _t0, 1e-9), 1)
     del _a
 
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_result.json")
+
+    def _write_sidecar(partial: bool) -> str:
+        line = json.dumps({
+            "metric": "pyarrowspace-spark headline suite wall time",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "extra": dict(extra, partial=True) if partial else extra,
+        })
+        with open(sidecar, "w") as fh:
+            fh.write(line + "\n")
+        return line
+
     def timed(name, fn):
         t0 = time.time()
         out = fn()
         timings[name] = round(time.time() - t0, 3)
+        # Re-write the sidecar after EVERY phase: the first r8 run
+        # crashed (disk full) in the last timing block and lost 40
+        # minutes of completed measurements because the artifact was
+        # only written at the end. A crash now costs one phase.
+        _write_sidecar(partial=True)
         return out
 
     # --- index build (the BASELINE throughput anchor) ---------------------
@@ -389,42 +415,43 @@ def main() -> None:
             ceil0 = energy_mod.DIFFUSE_BROADCAST_MAX_BYTES
             energy_mod.DIFFUSE_BROADCAST_MAX_BYTES = 0
             try:
-                timed("diffuse_distributed_1step_at_scale",
-                      lambda: energy_mod.diffuse(
-                          big, bidx.edges, eta=0.05, steps=1).count())
-                # r7 verdict #3: does step 2+ amortize? Step 1 pays the
-                # both/deg persist materialization (the loop-invariant
-                # symmetrize+degree shuffle); the marginal cost of a
-                # second step is the honest per-step constant at scale.
+                # r7 verdict #3: does step 2+ amortize? ONE instrumented
+                # 2-step run yields both numbers (step 1 pays the
+                # loop-invariant symmetrize+degree materialization; the
+                # step-2 entry is the honest per-step marginal at
+                # scale). The first r8 attempt ran a 1-step job THEN a
+                # 2-step job — three step-shuffles of E·F array
+                # messages (~29 GB each at 313k) whose files all
+                # coexisted, filling the disk; the instrumented loop
+                # eager-checkpoints + GCs between steps so peak scratch
+                # is ~one step. The JVM GC first reclaims the earlier
+                # phases' dead shuffle files too.
+                spark.sparkContext._jvm.System.gc()
+                step_secs: list[float] = []
                 timed("diffuse_distributed_2step_at_scale",
                       lambda: energy_mod.diffuse(
-                          big, bidx.edges, eta=0.05, steps=2).count())
-                extra["diffuse_step2_marginal_sec"] = round(
-                    timings["diffuse_distributed_2step_at_scale"]
-                    - timings["diffuse_distributed_1step_at_scale"], 3)
+                          big, bidx.edges, eta=0.05, steps=2,
+                          step_times=step_secs).count())
+                if len(step_secs) == 2:
+                    # in extra, not timings: the 2step total already
+                    # contains both steps — adding step 1 to the
+                    # timings dict would double-count it in the suite
+                    # wall-time sum (r07c's "diffuse_distributed_1step
+                    # _at_scale" queries entry is comparable to
+                    # extra["diffuse_step1_sec"] here)
+                    extra["diffuse_step1_sec"] = step_secs[0]
+                    extra["diffuse_step2_marginal_sec"] = step_secs[1]
             finally:
                 energy_mod.DIFFUSE_BROADCAST_MAX_BYTES = ceil0
 
     extra["loadavg_end"] = [round(v, 2) for v in os.getloadavg()]
-    total = round(sum(timings.values()), 3)
-    result_line = json.dumps({
-        "metric": "pyarrowspace-spark headline suite wall time",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "extra": extra,
-    })
-    # Write a sidecar FIRST so the result survives any stdout mishap,
-    # then stop Spark BEFORE printing: in round 6 the interpreter-exit
-    # shutdown hook dumped an RPC-timeout stack trace after the JSON
-    # line, displacing it from the driver's tail capture
-    # (BENCH_r06.json parsed: null). Stopping the session here makes
-    # the JSON the true last line of stdout.
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_result.json")
-    with open(sidecar, "w") as fh:
-        fh.write(result_line + "\n")
+    # Write the final (non-partial) sidecar FIRST so the result
+    # survives any stdout mishap, then stop Spark BEFORE printing: in
+    # round 6 the interpreter-exit shutdown hook dumped an RPC-timeout
+    # stack trace after the JSON line, displacing it from the driver's
+    # tail capture (BENCH_r06.json parsed: null). Stopping the session
+    # here makes the JSON the true last line of stdout.
+    result_line = _write_sidecar(partial=False)
     try:
         spark.stop()
     except Exception:

@@ -358,6 +358,25 @@ class ArrowSpaceBuilder:
         )
 
     @staticmethod
+    def extend_energy(
+        index,
+        new_items: DataFrame,
+        id_col: str = "item_id",
+        feat_col: str = "features",
+        refresh_centroid_attrs: bool = True,
+    ):
+        """Incremental energy-index maintenance — the energy twin of
+        `extend`, same frozen-artifact O(new items) contract (graph,
+        L_F, τ_synth, and centroid CENTERS stay frozen; scalar centroid
+        moments are refreshed for affected centroids only by default).
+        See `operators/energy.extend_energy` for full semantics."""
+        from .operators import energy as energy_ops
+
+        return energy_ops.extend_energy(
+            index, new_items, id_col=id_col, feat_col=feat_col,
+            refresh_centroid_attrs=refresh_centroid_attrs)
+
+    @staticmethod
     def build_energy(
         items: DataFrame,
         energy_params: dict | EnergyParams | None = None,

@@ -25,6 +25,7 @@ spec gap); formulas here are pinned by our own golden tests.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -113,6 +114,16 @@ def diffusion_step(
     `both`/`deg`: the symmetrized edge list and the degree aggregation
     are LOOP-INVARIANT — a multi-step caller passes them persisted
     once instead of re-shuffling E rows for degrees every step.
+
+    Measured (round 8, BENCH_313k_r08.json): steps do NOT amortize —
+    at N=313k, E_sym=9.4M, F=384 the instrumented 2-step run measured
+    step 1 = 272.7 s and step 2 = 299.6 s. The loop-invariant
+    symmetrize+degree materialization that step 1 carries is a
+    rounding error; the per-step constant IS the E·F array-message
+    shuffle through the groupBy(_g) kernel (the items-side exchange is
+    N·F, ~3% of it). Cutting it further means cutting message volume
+    itself (e.g. quantized message arrays), not join choreography —
+    don't re-try partitioning-reuse tweaks expecting step-2 savings.
     """
     if both is None:
         both = _symmetrize(edges)
@@ -225,7 +236,8 @@ def _diffuse_driver(
 
 
 def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
-            id_col: str = "item_id", feat_col: str = "features") -> DataFrame:
+            id_col: str = "item_id", feat_col: str = "features",
+            step_times: "list[float] | None" = None) -> DataFrame:
     """G12 heat diffusion, `steps` iterations. Physical tiers:
 
     - driver tier (N·F·8 ≤ DIFFUSE_BROADCAST_MAX_BYTES, default 4 GiB
@@ -234,6 +246,18 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
       % of X's size, so it fits whenever X does.
     - distributed tier beyond: per-step `diffusion_step` dataflow with
       array-carrying edge messages, lineage capped per step.
+
+    `step_times` (bench instrumentation, distributed tier only): pass a
+    list and each step is materialized EAGERLY and its wall time
+    appended — one multi-step run then yields every per-step cost
+    (step 1 carries the loop-invariant symmetrize+degree
+    materialization; later entries are the honest per-step marginal).
+    After each instrumented step a JVM GC is triggered so the previous
+    step's now-unreferenced shuffle files are reclaimed promptly —
+    measuring k steps costs ~1 step of peak scratch disk instead of k
+    (the round-8 bench filled a 62 GB disk timing 1-step + 2-step runs
+    back to back). Default None: production path unchanged (lazy
+    intermediate checkpoints, one job at the consuming action).
     """
     if int(steps) <= 0:
         return items.select(id_col, feat_col)
@@ -289,12 +313,20 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
         out = items.select(id_col, feat_col)
         last = int(steps) - 1
         for i in range(int(steps)):
+            t0 = time.time() if step_times is not None else 0.0
             out = diffusion_step(out, edges, eta, id_col, feat_col,
                                  n_groups, both=both, deg=deg)
             # final step checkpoints EAGERLY so the result no longer
             # depends on both/deg and they can be dropped below, not
             # leaked
-            out = out.localCheckpoint(eager=(i == last))
+            out = out.localCheckpoint(
+                eager=(i == last or step_times is not None))
+            if step_times is not None:
+                step_times.append(round(time.time() - t0, 3))
+                # the just-checkpointed step's upstream shuffle files
+                # are dead lineage now — reclaim before the next step
+                # stacks its own on top
+                items.sparkSession.sparkContext._jvm.System.gc()
         return out
     finally:
         # on error too — a failed step must not leak executor storage
@@ -369,6 +401,15 @@ class EnergyIndex:
         spark.createDataFrame([meta]).write.mode("overwrite").json(
             f"{path}/meta")
 
+    def extend(self, new_items: DataFrame, id_col: str = "item_id",
+               feat_col: str = "features",
+               refresh_centroid_attrs: bool = True) -> "EnergyIndex":
+        """Incremental append against frozen artifacts — see
+        `extend_energy` (module level) for the contract."""
+        return extend_energy(self, new_items, id_col=id_col,
+                             feat_col=feat_col,
+                             refresh_centroid_attrs=refresh_centroid_attrs)
+
     @classmethod
     def load(cls, spark, path: str) -> "EnergyIndex":
         """Reopen a saved energy index: tables stay lazy/distributed,
@@ -389,6 +430,38 @@ class EnergyIndex:
                 _json.loads(meta["energy_params"])),
             tau_synth=float(meta["tau_synth"]),
         )
+
+
+def _centroid_attrs(wc: DataFrame) -> DataFrame:
+    """Scalar moments AND member-mean centers per token, one grouped
+    Arrow kernel: a single shuffle of (centroid_id, features, λ, e)
+    rows replaces the previous two aggregations (one of which
+    exploded N×F rows — 120M at the 313k ledger scale) plus their
+    join. Group size is members-per-token (~N/optical_tokens), so
+    per-call memory is members × F doubles."""
+
+    def _agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(pdf["features"].to_numpy()).astype(np.float64)
+        lam = pdf["lambda"].to_numpy(np.float64)
+        er = pdf["e_raw"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "centroid_id": [int(pdf["centroid_id"].iloc[0])],
+            "n_members": [len(pdf)],
+            "lambda_c": [float(lam.mean())],
+            "e_c": [float(er.mean())],
+            "disp_c": [float(lam.std())],
+            "center": [M.mean(axis=0)],
+        })
+
+    return (
+        wc.select("centroid_id", "features", "lambda", "e_raw")
+        .groupBy("centroid_id")
+        .applyInPandas(
+            _agg,
+            "centroid_id long, n_members long, lambda_c double, "
+            "e_c double, disp_c double, center array<double>",
+        )
+    )
 
 
 def build_energy(
@@ -467,37 +540,6 @@ def build_energy(
     # persisted: consumed by the first attrs pass, the split-member
     # collect, and the reassignment scan
     with_c = indexed.join(assigned, "item_id").persist()
-
-    def _centroid_attrs(wc: DataFrame) -> DataFrame:
-        """Scalar moments AND member-mean centers per token, one grouped
-        Arrow kernel: a single shuffle of (centroid_id, features, λ, e)
-        rows replaces the previous two aggregations (one of which
-        exploded N×F rows — 120M at the 313k ledger scale) plus their
-        join. Group size is members-per-token (~N/optical_tokens), so
-        per-call memory is members × F doubles."""
-
-        def _agg(pdf: pd.DataFrame) -> pd.DataFrame:
-            M = np.stack(pdf["features"].to_numpy()).astype(np.float64)
-            lam = pdf["lambda"].to_numpy(np.float64)
-            er = pdf["e_raw"].to_numpy(np.float64)
-            return pd.DataFrame({
-                "centroid_id": [int(pdf["centroid_id"].iloc[0])],
-                "n_members": [len(pdf)],
-                "lambda_c": [float(lam.mean())],
-                "e_c": [float(er.mean())],
-                "disp_c": [float(lam.std())],
-                "center": [M.mean(axis=0)],
-            })
-
-        return (
-            wc.select("centroid_id", "features", "lambda", "e_raw")
-            .groupBy("centroid_id")
-            .applyInPandas(
-                _agg,
-                "centroid_id long, n_members long, lambda_c double, "
-                "e_c double, disp_c double, center array<double>",
-            )
-        )
 
     centroids = _centroid_attrs(with_c).persist()
 
@@ -641,6 +683,115 @@ def build_energy(
         graph_params=gparams,
         energy_params=eparams,
         tau_synth=tau_synth,
+    )
+
+
+def extend_energy(
+    index: EnergyIndex,
+    new_items: DataFrame,
+    id_col: str = "item_id",
+    feat_col: str = "features",
+    refresh_centroid_attrs: bool = True,
+) -> EnergyIndex:
+    """Batch incremental energy-index maintenance — the energy twin of
+    `ArrowSpaceBuilder.extend` (builder.py), with the same frozen-
+    artifact contract: the λτ-graph, the F×F Laplacian, τ_synth, and
+    the centroid CENTERS stay frozen, so extend cost is O(new items)
+    regardless of index size, and a periodic full rebuild re-absorbs
+    drift (the reference has no incremental surface at all,
+    src/lib.rs:303-376 — this is engine parity with our own standard-
+    index lifecycle, not a reference API).
+
+    Per new item: (1) normalise if the base build did; (2) λ/e against
+    the FROZEN diffused-space Laplacian with the build's τ_synth — note
+    the new vectors enter UN-diffused, which is exactly what the frozen
+    graph implies (a node with no edges is a fixed point of the
+    diffusion recurrence x ← x − η·(L·x), so diffusing against the
+    frozen graph would be the identity on them); (3) assignment to the
+    nearest frozen centroid center (broadcast gemm argmin, the same
+    `ivf_assign` kernel as the build — O(new × K)); (4) append.
+
+    `refresh_centroid_attrs` (default on) recomputes the scalar moments
+    (λ/e means, dispersion, n_members — NOT the centers) for only the
+    centroids that received new members, so the search shortlist ranks
+    with current statistics; cost is one grouped kernel over the
+    affected centroids' members. With it off, the centroid table is
+    fully frozen and only the member rescore sees the new items.
+    """
+    first = new_items.select(F.size(feat_col).alias("n")).first()
+    if first is None:
+        return index
+    nf = int(index.feature_laplacian.shape[0])
+    if int(first["n"]) != nf:
+        raise ValueError(
+            f"new items have {first['n']} features, index has {nf}")
+    add = new_items.select(
+        F.col(id_col).alias("item_id"), F.col(feat_col).alias("features"))
+    if index.graph_params.normalise:
+        from ..functions import vector as V
+
+        add = add.withColumn("features", V.l2_normalize("features"))
+    comp = lam_ops.with_energy_components(add, index.feature_laplacian)
+    indexed = comp.select(
+        "*", F.col("_ec.e_raw").alias("e_raw")
+    ).withColumn(
+        "lambda", lam_ops.blend_lambda("_ec", index.tau_synth)
+    ).drop("_ec")
+
+    # Frozen centers: collect the (≤ ~2·optical_tokens)-row centroid
+    # table once; ivf_assign returns POSITIONS into that matrix, which
+    # a literal-array lookup maps back to centroid_ids (split children
+    # are not contiguous: parents were removed, children start at
+    # k_tokens).
+    from .simsearch import ivf_assign
+
+    crows = (index.centroids.select("centroid_id", "center")
+             .orderBy("centroid_id").collect())
+    centers = np.stack([np.asarray(r["center"], dtype=np.float64)
+                        for r in crows])
+    cid_lits = F.array(*[F.lit(int(r["centroid_id"])) for r in crows])
+    assigned = (
+        ivf_assign(indexed.select("item_id", "features"), centers,
+                   "features", "cells", n_probe=1)
+        .select("item_id", F.explode("cells").alias("_pos"))
+        # element_at is 1-indexed
+        .select("item_id",
+                F.element_at(cid_lits, F.col("_pos") + 1)
+                .alias("centroid_id"))
+    )
+    new_members = indexed.join(assigned, "item_id")
+    items_all = index.items.unionByName(new_members)
+
+    centroids = index.centroids
+    if refresh_centroid_attrs:
+        affected = [int(r["centroid_id"]) for r in
+                    assigned.select("centroid_id").distinct().collect()]
+        if affected:
+            refreshed = _centroid_attrs(
+                items_all.filter(F.col("centroid_id").isin(affected)))
+            # the grouped kernel recomputes scalar moments from ALL
+            # members (old + new) of the affected centroids, but the
+            # CENTER must stay the frozen one the assignment used —
+            # otherwise repeated extends would silently drift the
+            # quantizer without re-running Lloyd.
+            frozen_centers = index.centroids.select(
+                "centroid_id", "center")
+            refreshed = refreshed.drop("center").join(
+                F.broadcast(frozen_centers), "centroid_id")
+            centroids = (
+                index.centroids.filter(
+                    ~F.col("centroid_id").isin(affected))
+                .unionByName(refreshed.select(*index.centroids.columns))
+            )
+
+    return EnergyIndex(
+        items=items_all,
+        centroids=centroids,
+        edges=index.edges,
+        feature_laplacian=index.feature_laplacian,
+        graph_params=index.graph_params,
+        energy_params=index.energy_params,
+        tau_synth=index.tau_synth,
     )
 
 

@@ -1,0 +1,204 @@
+"""N=1,000,000 scale anchor (r7 verdict round-8 stretch): build the LSH
+λτ-index, measure ANN recall@15 against the exact path, and run the
+energy pipeline, all beyond every calibration point (6k/78k/313k/600k)
+— proving the table schedules and resource tiers hold past the
+reference's largest published N (313,841).
+
+Disk is the known hazard at this N: round 7 measured LSH-build shuffle
+spill at ~55-65 GB per million rows at F=384 with lz4, and a 1M attempt
+filled the round-7 host's disk inside 10 minutes (see
+measure_pbit.py's header). Two mitigations here:
+  - zstd shuffle/spill compression (spark.io.compression.codec) —
+    denser than the lz4 default on these float-array blocks;
+  - a disk watchdog thread that cancels all jobs and writes the
+    partial JSON (aborted=true + peak usage) when free space drops
+    under WATCHDOG_MIN_FREE_GB, so even a failed attempt produces a
+    measured, citable artifact instead of a dead host.
+
+Usage:  python scripts/measure_1m.py          # writes BENCH_1M_r08.json
+        M1M_N=800000 python scripts/measure_1m.py   # other N
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# BLAS pinning, same rationale + knobs as bench.py (set pre-numpy)
+_DRIVER_BLAS = os.environ.get(
+    "SPARK_GRAFT_DRIVER_BLAS_THREADS",
+    os.environ.get("SPARK_GRAFT_CPUS", "32"))
+_WORKER_BLAS = os.environ.get("SPARK_GRAFT_WORKER_BLAS_THREADS", "1")
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ[_v] = _DRIVER_BLAS
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pyarrowspace_spark.builder import ArrowSpaceBuilder
+from pyarrowspace_spark.operators.search import search, search_ann
+from pyarrowspace_spark.operators.simsearch import (auto_lsh_tables,
+                                                    lsh_hyperplanes,
+                                                    with_lsh_buckets)
+from pyarrowspace_spark.params import EnergyParams, GraphParams
+from pyarrowspace_spark.session import get_spark
+from pyarrowspace_spark.sources.synth import ensure_clustered_corpus
+
+N_PLANES, N_QUERIES, TOPK, TAU = 10, 50, 15, 0.62
+WATCHDOG_MIN_FREE_GB = float(os.environ.get("M1M_MIN_FREE_GB", "6"))
+
+_ABORT = threading.Event()
+_PEAK_USED_GB = [0.0]
+
+
+def _watchdog(sc) -> None:
+    while not _ABORT.is_set():
+        u = shutil.disk_usage("/")
+        _PEAK_USED_GB[0] = max(_PEAK_USED_GB[0], u.used / 1024**3)
+        if u.free / 1024**3 < WATCHDOG_MIN_FREE_GB:
+            _ABORT.set()
+            try:
+                sc.cancelAllJobs()
+            except Exception:
+                pass
+            return
+        time.sleep(10)
+
+
+def main() -> None:
+    n = int(os.environ.get("M1M_N", "1000000"))
+    out: dict[str, object] = {
+        "n": n, "n_planes": N_PLANES, "topk": TOPK, "aborted": False,
+        "blas_threads_driver": int(_DRIVER_BLAS),
+        "blas_threads_worker": int(_WORKER_BLAS),
+        "loadavg_start": [round(v, 2) for v in os.getloadavg()],
+        "disk_free_start_gb": round(shutil.disk_usage("/").free / 1024**3, 1),
+    }
+    # host probes (same trio as bench.py: warm memcpy + fixed gemm)
+    _buf = np.random.standard_normal(100_000_000 // 8)
+    _t0 = time.time(); _buf2 = _buf.copy()
+    out["host_memcpy_gbps"] = round(0.1 / max(time.time() - _t0, 1e-9), 2)
+    _t0 = time.time(); _buf2[:] = _buf
+    out["host_memcpy_warm_gbps"] = round(
+        0.1 / max(time.time() - _t0, 1e-9), 2)
+    del _buf, _buf2
+    _a = np.random.standard_normal((1024, 1024))
+    _a @ _a
+    _t0 = time.time()
+    for _ in range(4):
+        _a @ _a
+    out["host_gemm_gflops"] = round(
+        4 * 2 * 1024**3 / 1e9 / max(time.time() - _t0, 1e-9), 1)
+    del _a
+
+    spark = get_spark("measure-1m", extra_conf={
+        "spark.io.compression.codec": "zstd",
+        **{f"spark.executorEnv.{v}": _WORKER_BLAS
+           for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                     "MKL_NUM_THREADS")},
+    })
+    import __spark_entry__ as entry_mod
+
+    entry_mod._ship_package(spark)
+    threading.Thread(target=_watchdog, args=(spark.sparkContext,),
+                     daemon=True).start()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cache = os.path.join(repo, ".benchdata")
+    path = ensure_clustered_corpus(cache, n=n, f=384)
+    big = spark.read.parquet(path).select("item_id", "features")
+
+    def finish(partial: bool) -> None:
+        out["aborted"] = partial
+        out["disk_peak_used_gb"] = round(_PEAK_USED_GB[0], 1)
+        out["disk_free_end_gb"] = round(
+            shutil.disk_usage("/").free / 1024**3, 1)
+        out["loadavg_end"] = [round(v, 2) for v in os.getloadavg()]
+        line = json.dumps(out)
+        with open(os.path.join(repo, "BENCH_1M_r08.json"), "w") as fh:
+            fh.write(line + "\n")
+        try:
+            spark.stop()
+        except Exception:
+            pass
+        print(line, flush=True)
+
+    try:
+        t0 = time.time()
+        idx = ArrowSpaceBuilder.build(
+            big, {"eps": 0.99, "k": 25, "topk": 15, "p": 2.0},
+            strategy="lsh")
+        idx.items.count(), idx.edges.count()
+        out["build_sec"] = round(time.time() - t0, 1)
+        out["build_items_per_sec"] = round(n / (time.time() - t0), 1)
+
+        n_tables = auto_lsh_tables(N_PLANES, target_recall=0.95, n_items=n)
+        out["ann_n_tables"] = n_tables
+        planes = lsh_hyperplanes(384, n_tables=n_tables, n_planes=N_PLANES)
+        t0 = time.time()
+        hashed = with_lsh_buckets(
+            idx.items.select("item_id", "features", "e_raw", "g"),
+            planes).persist()
+        hashed.count()
+        out["ann_hash_sec"] = round(time.time() - t0, 1)
+
+        qrows = (big.filter(F.col("item_id") < 5 * N_QUERIES)
+                 .orderBy("item_id").limit(N_QUERIES).collect())
+        qmat = np.array([r["features"] for r in qrows]) * 1.05
+        qdf = spark.createDataFrame(
+            [(int(i), [float(v) for v in qmat[i]])
+             for i in range(len(qmat))],
+            schema="query_id long, features array<double>")
+
+        t0 = time.time()
+        exact_sets: dict[int, set] = {}
+        for r in search(idx.items, idx.feature_laplacian, qmat, tau=TAU,
+                        k=TOPK).select("query_id", "item_id").collect():
+            exact_sets.setdefault(r["query_id"], set()).add(r["item_id"])
+        out["exact_search_50q_sec"] = round(time.time() - t0, 1)
+
+        t0 = time.time()
+        ann_sets: dict[int, set] = {}
+        for r in search_ann(hashed, idx.feature_laplacian, qdf, tau=TAU,
+                            k=TOPK, planes=planes
+                            ).select("query_id", "item_id").collect():
+            ann_sets.setdefault(r["query_id"], set()).add(r["item_id"])
+        out["ann_search_50q_sec"] = round(time.time() - t0, 1)
+        recalls = [len(ann_sets.get(q, set()) & hits) / max(len(hits), 1)
+                   for q, hits in exact_sets.items()]
+        out["ann_recall_at_15"] = round(float(np.mean(recalls)), 4)
+        hashed.unpersist()
+
+        # energy pipeline, graph reuse (same shape as the 313k anchor)
+        from pyarrowspace_spark.operators.energy import (build_energy,
+                                                         search_energy)
+
+        t0 = time.time()
+        eidx = build_energy(
+            big, EnergyParams(eta=0.05, steps=4, optical_tokens=40),
+            GraphParams(eps=0.99, k=25, topk=15, p=2.0), edges=idx.edges)
+        eidx.items.count(), eidx.centroids.count()
+        out["energy_build_sec"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        search_energy(eidx, qmat, k=TOPK,
+                      query_ids=list(range(len(qmat)))).collect()
+        out["energy_search_50q_sec"] = round(time.time() - t0, 1)
+    except Exception as e:
+        out["error"] = f"{type(e).__name__}: {e}"[:500]
+        finish(partial=True)
+        return
+    if _ABORT.is_set():
+        out["error"] = "disk watchdog tripped"
+        finish(partial=True)
+        return
+    finish(partial=False)
+
+
+if __name__ == "__main__":
+    main()

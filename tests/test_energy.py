@@ -120,3 +120,66 @@ def test_diffuse_tiers_agree(spark, test0_items_df, edges, monkeypatch):
     assert set(got_a) == set(got_b)
     for i in got_a:
         np.testing.assert_allclose(got_a[i], got_b[i], rtol=1e-9)
+
+
+def test_extend_energy_frozen_contract(energy_index, spark):
+    """EnergyIndex.extend appends new items against FROZEN artifacts
+    (L_F, tau_synth, centroid centers) with O(new) work; scalar
+    centroid moments refresh for affected centroids only."""
+    from pyarrowspace_spark.operators import lambda_index as lam_ops
+
+    base_n = energy_index.items.count()
+    src = (energy_index.items.filter(F.col("item_id").isin([3, 7, 11]))
+           .select("item_id", "features").collect())
+    new_rows = [(10_000 + r["item_id"],
+                 [float(v) * 1.01 for v in r["features"]]) for r in src]
+    new_df = spark.createDataFrame(
+        new_rows, schema="item_id long, features array<double>")
+    ext = energy_index.extend(new_df)
+
+    assert ext.items.count() == base_n + 3
+    # frozen scalars/matrices
+    assert ext.tau_synth == energy_index.tau_synth
+    np.testing.assert_array_equal(
+        ext.feature_laplacian, energy_index.feature_laplacian)
+    # centroid CENTERS frozen (ids identical, vectors identical);
+    # n_members totals absorb exactly the 3 appended rows
+    c0 = {r["centroid_id"]: (np.array(r["center"]), r["n_members"])
+          for r in energy_index.centroids.collect()}
+    c1 = {r["centroid_id"]: (np.array(r["center"]), r["n_members"])
+          for r in ext.centroids.collect()}
+    assert set(c0) == set(c1)
+    for cid in c0:
+        np.testing.assert_allclose(c0[cid][0], c1[cid][0], rtol=0)
+    assert sum(v[1] for v in c0.values()) == base_n
+    assert sum(v[1] for v in c1.values()) == base_n + 3
+
+    # each new member landed in an existing centroid, with lambda/e
+    # matching the frozen-kernel computation exactly
+    newm = {r["item_id"]: r for r in ext.items.filter(
+        F.col("item_id") >= 10_000).collect()}
+    assert set(newm) == {10_003, 10_007, 10_011}
+    q = np.array([newm[i]["features"] for i in sorted(newm)])
+    e_exp, _, lam_exp = lam_ops._lambda_kernel(
+        q, energy_index.feature_laplacian, energy_index.tau_synth)
+    for j, i in enumerate(sorted(newm)):
+        assert newm[i]["centroid_id"] in c0
+        np.testing.assert_allclose(newm[i]["e_raw"], e_exp[j], rtol=1e-12)
+        np.testing.assert_allclose(newm[i]["lambda"], lam_exp[j], rtol=1e-12)
+
+    # the appended item is immediately searchable: querying its own
+    # vector gives identical lambda/e -> maximal score -> rank 1
+    hits = E.search_energy(ext, q[1], k=5).orderBy("rank").collect()
+    assert hits[0]["item_id"] == 10_007
+
+    # refresh off -> the centroid table is the SAME frame, fully frozen
+    ext2 = energy_index.extend(new_df, refresh_centroid_attrs=False)
+    assert ext2.centroids is energy_index.centroids
+
+
+def test_extend_energy_validates_nfeatures(energy_index, spark):
+    bad = spark.createDataFrame(
+        [(99_999, [0.1, 0.2, 0.3])],
+        schema="item_id long, features array<double>")
+    with pytest.raises(ValueError, match="features"):
+        energy_index.extend(bad)

@@ -1,0 +1,126 @@
+"""Real multi-JVM smoke test (r7 verdict 'missing' #2): the deployment
+branches the monkeypatch tests simulate, exercised under
+``local-cluster[2,2,2048]`` — two separate executor JVMs, real package
+shipping via addPyFile (executor Python workers cannot see the driver's
+module state), the broadcast-gather Laplacian tier's real broadcast, the
+fully distributed Laplacian join tier, and the distributed diffusion
+tier, with values compared against the in-process local[*] session.
+
+Runs the cluster session in a SUBPROCESS: a Python process admits one
+SparkContext and the session fixture already owns a local[*] one.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_SCRIPT = r'''
+import json, os, shutil, sys, tempfile
+import numpy as np
+
+repo = sys.argv[1]
+sys.path.insert(0, repo)
+import pyspark
+
+os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
+from pyarrowspace_spark.session import get_spark
+from pyarrowspace_spark.builder import ArrowSpaceBuilder
+from pyarrowspace_spark.operators import energy as E
+from pyarrowspace_spark.operators import knn as knn_mod
+from pyarrowspace_spark.operators import lambda_index as lam_mod
+
+spark = get_spark(
+    "local-cluster-smoke", master="local-cluster[2,2,2048]",
+    shuffle_partitions=4,
+    extra_conf={"spark.driver.memory": "2g",
+                "spark.driver.maxResultSize": "1g"})
+# Real package shipping: the executors are separate JVMs whose Python
+# workers unpickle our kernels from the shipped zip, not the driver's
+# sys.path (the engine's production path, __spark_entry__._ship_package).
+zip_path = shutil.make_archive(
+    os.path.join(tempfile.gettempdir(), "pyarrowspace_pkg_lc"),
+    "zip", repo, "pyarrowspace_spark")
+spark.sparkContext.addPyFile(zip_path)
+
+rng = np.random.default_rng(11)
+X = rng.standard_normal((40, 24)) * 0.5 + 1.0
+items = spark.createDataFrame(
+    [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+    schema="item_id long, features array<double>")
+idx = ArrowSpaceBuilder.build(
+    items, {"eps": 0.9, "k": 6, "topk": 6, "p": 2.0}, strategy="exact")
+lam_sum = float(idx.items.agg({"lambda": "sum"}).collect()[0][0])
+
+# Laplacian tiers under real multi-JVM: driver tier (what build used),
+# broadcast-gather tier, fully distributed join tier.
+exact0 = knn_mod.EXACT_PATH_MAX_ROWS
+knn_mod.EXACT_PATH_MAX_ROWS = 0          # -> gather tier
+lf_gather = lam_mod.feature_laplacian(items, idx.edges, 24)
+lam_mod.BROADCAST_GATHER_MAX_ROWS = 0    # -> distributed join tier
+lf_dist = lam_mod.feature_laplacian(items, idx.edges, 24)
+knn_mod.EXACT_PATH_MAX_ROWS = exact0
+gather_err = float(np.abs(lf_gather - idx.feature_laplacian).max())
+dist_err = float(np.abs(lf_dist - idx.feature_laplacian).max())
+
+# Distributed diffusion tier (the 100-TB path) across two executor JVMs
+E.DIFFUSE_BROADCAST_MAX_BYTES = 0
+d = E.diffuse(items, idx.edges, eta=0.05, steps=2)
+d_sum = float(np.sum([float(np.sum(r["features"])) for r in d.collect()]))
+
+print("RESULT " + json.dumps({
+    "master": spark.sparkContext.master,
+    "n_edges": idx.edges.count(),
+    "tau": idx.tau_synth,
+    "lam_sum": lam_sum,
+    "gather_err": gather_err,
+    "dist_err": dist_err,
+    "d_sum": d_sum,
+}))
+spark.stop()
+'''
+
+
+@pytest.mark.slow
+def test_local_cluster_distributed_tiers(spark):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("SPARK_MASTER", None)
+    # keep the two executor JVMs + their Python workers modest
+    env.setdefault("OMP_NUM_THREADS", "1")
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT, repo],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert proc.returncode == 0, (proc.stdout[-2000:] + proc.stderr[-4000:])
+    lines = [ln for ln in proc.stdout.splitlines()
+             if ln.startswith("RESULT ")]
+    assert lines, proc.stdout[-2000:]
+    got = json.loads(lines[-1][len("RESULT "):])
+    assert got["master"].startswith("local-cluster")
+
+    # All three Laplacian tiers agreed inside the cluster session
+    assert got["gather_err"] < 1e-9
+    assert got["dist_err"] < 1e-9
+
+    # Values identical to the same computation on this local[*] session
+    from pyarrowspace_spark.builder import ArrowSpaceBuilder
+    from pyarrowspace_spark.operators import energy as E
+
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((40, 24)) * 0.5 + 1.0
+    items = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        schema="item_id long, features array<double>")
+    idx = ArrowSpaceBuilder.build(
+        items, {"eps": 0.9, "k": 6, "topk": 6, "p": 2.0}, strategy="exact")
+    assert idx.edges.count() == got["n_edges"]
+    np.testing.assert_allclose(got["tau"], idx.tau_synth, rtol=1e-12)
+    lam_sum = float(idx.items.agg({"lambda": "sum"}).collect()[0][0])
+    np.testing.assert_allclose(got["lam_sum"], lam_sum, rtol=1e-9)
+    d = E.diffuse(items, idx.edges, eta=0.05, steps=2)
+    d_sum = float(np.sum([float(np.sum(r["features"]))
+                          for r in d.collect()]))
+    np.testing.assert_allclose(got["d_sum"], d_sum, rtol=1e-9)
