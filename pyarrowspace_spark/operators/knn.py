@@ -30,6 +30,7 @@ Two physical strategies, one logical contract:
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 from pyspark.sql import DataFrame, Window
@@ -366,31 +367,74 @@ def _pairwise_candidates_lsh(
         .groupBy("band", "key").agg(F.count("*").alias("_cnt"))
     )
     oversized = sizes.filter(F.col("_cnt") > F.lit(b_max))
-    h2 = hashed.join(F.broadcast(oversized), ["band", "key"], "left")
-    normal = h2.filter(F.col("_cnt").isNull()).drop("_cnt")
-    bucket_pairs = normal.groupBy("band", "key").applyInPandas(
-        bucket_knn, schema=pair_schema)
-    big = h2.filter(F.col("_cnt").isNotNull())
-    nblocks = F.ceil(F.col("_cnt") / F.lit(b_max)).cast("int")
-    myblock = F.pmod(F.xxhash64("id"), nblocks).cast("int")
-    big_pairs = (
-        big.withColumn("_b", myblock)
-        .withColumn(
-            "_bp",
-            F.explode(F.transform(
-                F.sequence(F.lit(0), nblocks - F.lit(1)),
-                lambda j: F.struct(
-                    F.least(F.col("_b"), j).alias("b1"),
-                    F.greatest(F.col("_b"), j).alias("b2"),
-                ),
-            )),
+
+    # Scratch-disk budget: the bucket stage shuffles N·bands rows each
+    # carrying a fdim-float32 unit vector, and the groupBy sort spills
+    # ~3x that volume to local disk (measured round 8: an N=800k,
+    # 15-band build spilled >61 GB and filled a 76 GB scratch disk;
+    # N=1M died the same way in round 7). Above the per-stage budget,
+    # bands are processed in SEQUENTIAL groups: each group's shuffle
+    # carries only its bands, its (narrow) pair output is checkpointed
+    # eagerly, and the group's shuffle files are GC'd before the next
+    # group runs — peak scratch divides by the group count while the
+    # pair union is band-order-invariant, so the output is IDENTICAL
+    # (pinned by tests/test_lsh_recall.py). The default budget keeps
+    # corpora ≤ ~400k at one group, so the committed 313k anchors run
+    # the exact same single-stage plan as before. Env override:
+    # SPARK_GRAFT_LSH_GROUP_BYTES (suffix-aware, e.g. "12g").
+    from ..functions.matrix import parse_size_bytes
+
+    est_bytes = n_items * nb * (fdim * 4 + 48)
+    group_budget = parse_size_bytes(
+        os.environ.get("SPARK_GRAFT_LSH_GROUP_BYTES", str(8 << 30)),
+        default=8 << 30)
+    n_band_groups = int(min(nb, max(1, -(-est_bytes // group_budget))))
+    gsize = -(-nb // n_band_groups)
+
+    def _group_pairs(src_frame: DataFrame) -> DataFrame:
+        h2 = src_frame.join(F.broadcast(oversized), ["band", "key"], "left")
+        normal = h2.filter(F.col("_cnt").isNull()).drop("_cnt")
+        bucket_pairs = normal.groupBy("band", "key").applyInPandas(
+            bucket_knn, schema=pair_schema)
+        big = h2.filter(F.col("_cnt").isNotNull())
+        nblocks = F.ceil(F.col("_cnt") / F.lit(b_max)).cast("int")
+        myblock = F.pmod(F.xxhash64("id"), nblocks).cast("int")
+        big_pairs = (
+            big.withColumn("_b", myblock)
+            .withColumn(
+                "_bp",
+                F.explode(F.transform(
+                    F.sequence(F.lit(0), nblocks - F.lit(1)),
+                    lambda j: F.struct(
+                        F.least(F.col("_b"), j).alias("b1"),
+                        F.greatest(F.col("_b"), j).alias("b2"),
+                    ),
+                )),
+            )
+            .select("band", "key", F.col("_bp.b1").alias("b1"),
+                    F.col("_bp.b2").alias("b2"), "id", "uvec")
+            .groupBy("band", "key", "b1", "b2")
+            .applyInPandas(bucket_knn, schema=pair_schema)
         )
-        .select("band", "key", F.col("_bp.b1").alias("b1"),
-                F.col("_bp.b2").alias("b2"), "id", "uvec")
-        .groupBy("band", "key", "b1", "b2")
-        .applyInPandas(bucket_knn, schema=pair_schema)
-    )
-    bucket_pairs = bucket_pairs.unionAll(big_pairs)
+        return bucket_pairs.unionAll(big_pairs)
+
+    if n_band_groups <= 1:
+        bucket_pairs = _group_pairs(hashed)
+    else:
+        parts = []
+        for g0 in range(0, nb, gsize):
+            gband = list(range(g0, min(g0 + gsize, nb)))
+            # the band filter sits directly above the hash map stage,
+            # so each group's exchange writes only its bands' rows
+            pairs_g = _group_pairs(
+                hashed.filter(F.col("band").isin(gband)))
+            # eager: materialize this group's narrow pairs NOW, cut
+            # the lineage to its wide shuffle, and reclaim the files
+            parts.append(pairs_g.localCheckpoint(eager=True))
+            spark.sparkContext._jvm.System.gc()
+        bucket_pairs = parts[0]
+        for p in parts[1:]:
+            bucket_pairs = bucket_pairs.unionAll(p)
     # Dedupe across bands; min() is a no-op on value (the distance is
     # the same pair function in every band) but makes the agg
     # map-side combinable.

@@ -51,24 +51,41 @@ from pyarrowspace_spark.session import get_spark
 from pyarrowspace_spark.sources.synth import ensure_clustered_corpus
 
 N_PLANES, N_QUERIES, TOPK, TAU = 10, 50, 15, 0.62
-WATCHDOG_MIN_FREE_GB = float(os.environ.get("M1M_MIN_FREE_GB", "6"))
+# 15 GB floor, 3 s polls: the first 1M attempt measured the LSH build
+# spilling 43 GB in under 4 minutes (~200 MB/s across 32 tasks) — a
+# 6 GB floor on 10 s polls left less than one poll of margin, the disk
+# hit 0, and even the 1 KB partial-artifact write then failed ENOSPC.
+WATCHDOG_MIN_FREE_GB = float(os.environ.get("M1M_MIN_FREE_GB", "15"))
 
 _ABORT = threading.Event()
 _PEAK_USED_GB = [0.0]
 
 
-def _watchdog(sc) -> None:
+def _watchdog(sc, artifact: str, out: dict) -> None:
     while not _ABORT.is_set():
         u = shutil.disk_usage("/")
         _PEAK_USED_GB[0] = max(_PEAK_USED_GB[0], u.used / 1024**3)
         if u.free / 1024**3 < WATCHDOG_MIN_FREE_GB:
             _ABORT.set()
+            # write the partial artifact HERE, while the floor still
+            # guarantees the write succeeds — the main thread's
+            # exception path races in-flight task spill on a nearly
+            # full disk (the first attempt lost its artifact that way)
+            out["aborted"] = True
+            out["error"] = (f"disk watchdog: free fell under "
+                            f"{WATCHDOG_MIN_FREE_GB} GB")
+            out["disk_peak_used_gb"] = round(_PEAK_USED_GB[0], 1)
+            try:
+                with open(artifact, "w") as fh:
+                    fh.write(json.dumps(out) + "\n")
+            except Exception:
+                pass
             try:
                 sc.cancelAllJobs()
             except Exception:
                 pass
             return
-        time.sleep(10)
+        time.sleep(3)
 
 
 def main() -> None:
@@ -106,10 +123,14 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     entry_mod._ship_package(spark)
-    threading.Thread(target=_watchdog, args=(spark.sparkContext,),
-                     daemon=True).start()
-
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # artifact name tracks N (BENCH_1M_r08.json at the default,
+    # BENCH_800k_r08.json at M1M_N=800000, ...)
+    label = "1M" if n == 1_000_000 else f"{n // 1000}k"
+    artifact = os.path.join(repo, f"BENCH_{label}_r08.json")
+    threading.Thread(target=_watchdog,
+                     args=(spark.sparkContext, artifact, out),
+                     daemon=True).start()
     cache = os.path.join(repo, ".benchdata")
     path = ensure_clustered_corpus(cache, n=n, f=384)
     big = spark.read.parquet(path).select("item_id", "features")
@@ -121,7 +142,7 @@ def main() -> None:
             shutil.disk_usage("/").free / 1024**3, 1)
         out["loadavg_end"] = [round(v, 2) for v in os.getloadavg()]
         line = json.dumps(out)
-        with open(os.path.join(repo, "BENCH_1M_r08.json"), "w") as fh:
+        with open(artifact, "w") as fh:
             fh.write(line + "\n")
         try:
             spark.stop()

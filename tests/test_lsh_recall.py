@@ -222,3 +222,26 @@ def test_auto_lsh_tables_schedule():
     assert auto_lsh_tables(10, 0.95, n_items=10**12, max_tables=8) <= 8
     # an explicit measured p_bit overrides the ln-N model
     assert auto_lsh_tables(10, 0.95, n_items=10**9, p_bit=0.9) == 4
+
+
+def test_band_group_sequencing_identical_edges(spark, monkeypatch):
+    """Scratch-budgeted band grouping (round 8): when the bucket
+    stage's estimated shuffle exceeds SPARK_GRAFT_LSH_GROUP_BYTES,
+    bands are processed in sequential groups with eager checkpoints
+    between them. The pair union is band-order-invariant, so the edge
+    list must be IDENTICAL to the single-stage plan."""
+    items = loaders.items_from_embeddings(spark, SF_DIR).select(
+        "item_id", "features")
+    params = GraphParams(eps=0.99, k=10, topk=10, p=2.0, sigma=0.495)
+    one = KNN.knn_edges(items, params, strategy="lsh", lsh_bits=3,
+                        lsh_bands=24)
+    rows_one = {(r["src"], r["dst"], round(r["dist"], 12))
+                for r in one.collect()}
+    # force ~4 band groups for the same build
+    monkeypatch.setenv("SPARK_GRAFT_LSH_GROUP_BYTES",
+                       str(500 * 64 * 4 * 24 // 4))
+    grouped = KNN.knn_edges(items, params, strategy="lsh", lsh_bits=3,
+                            lsh_bands=24)
+    rows_grp = {(r["src"], r["dst"], round(r["dist"], 12))
+                for r in grouped.collect()}
+    assert rows_grp == rows_one
