@@ -421,6 +421,25 @@ def _pairwise_candidates_lsh(
     if n_band_groups <= 1:
         bucket_pairs = _group_pairs(hashed)
     else:
+        import tempfile
+
+        from ..functions import matrix as matrix_mod
+
+        # Group materialization is a PARQUET SPOOL, not localCheckpoint:
+        # at N=1M one group's pre-dedupe pairs are ~125M rows, and the
+        # checkpoint's MEMORY_AND_DISK unroll OOM'd a 16 GB heap
+        # (UnsafeRow.copy in the store path — 32 tasks unrolling
+        # concurrently). The distributed parquet write streams straight
+        # to disk with bounded task memory, and reading it back is a
+        # clean scan with NO lineage to the group's shuffle, so the GC
+        # below actually reclaims the shuffle files. Spool dirs ride
+        # the shared scratch-dir registry (cleaned at exit). Deployable
+        # wherever the matrix handoff is (local master or shared
+        # $SPARK_GRAFT_SCRATCH_DIR); elsewhere fall back to the
+        # eager checkpoint — a multi-JVM cluster has the aggregate
+        # memory the single-JVM harness lacks.
+        spool = matrix_mod.handoff_eligible(spark, 1 << 62)
+        scratch_base = os.environ.get("SPARK_GRAFT_SCRATCH_DIR") or None
         parts = []
         for g0 in range(0, nb, gsize):
             gband = list(range(g0, min(g0 + gsize, nb)))
@@ -428,9 +447,14 @@ def _pairwise_candidates_lsh(
             # so each group's exchange writes only its bands' rows
             pairs_g = _group_pairs(
                 hashed.filter(F.col("band").isin(gband)))
-            # eager: materialize this group's narrow pairs NOW, cut
-            # the lineage to its wide shuffle, and reclaim the files
-            parts.append(pairs_g.localCheckpoint(eager=True))
+            if spool:
+                d = tempfile.mkdtemp(prefix="pyarrowspace-lshpairs-",
+                                     dir=scratch_base)
+                matrix_mod._SCRATCH_DIRS.append(d)
+                pairs_g.write.mode("overwrite").parquet(d)
+                parts.append(spark.read.parquet(d))
+            else:
+                parts.append(pairs_g.localCheckpoint(eager=True))
             spark.sparkContext._jvm.System.gc()
         bucket_pairs = parts[0]
         for p in parts[1:]:
