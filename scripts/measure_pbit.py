@@ -18,12 +18,14 @@ Prints one JSON line with the measured recall, inverted p_bit, the
 auto_lsh_tables model's predicted p_bit at that N, and host
 self-description fields (loadavg / memcpy probe) for artifact honesty.
 
-Disk sizing (round 7, measured): the LSH build's shuffle spill peaks
-at roughly 55-65 GB per million rows at F=384 on this harness. N=600k
-fits the round-7 host's ~76 GB usable scratch; an N=1M attempt filled
-the disk (100%) within 10 minutes of the build and was aborted —
-budget ~1.5x the projected spill, or point spark.local.dir at bigger
-storage, before trying beyond 600k here.
+Disk sizing (round 7, superseded in round 8): the LSH build's shuffle
+spill peaked at ~55-80 GB per million rows at F=384 on this harness,
+and N=1M attempts filled a 76 GB scratch disk. Round 8 fixed this at
+the operator: above SPARK_GRAFT_LSH_GROUP_BYTES of estimated bucket
+shuffle the build processes hash bands in sequential groups with
+parquet-spooled pair output (operators/knn.py), measured 62.7 GB peak
+for the FULL 1M build+ANN+energy suite (BENCH_1M_r08.json) vs 78.2 GB
+for the aborted ungrouped build alone (BENCH_800k_r08.json).
 """
 
 from __future__ import annotations
