@@ -477,7 +477,21 @@ def build_energy(
     the SAME items/params): a real pipeline building both indexes from
     one corpus runs the expensive graph build once, not twice."""
     base = items.select(F.col(id_col).alias("item_id"),
-                        F.col(feat_col).alias("features")).persist()
+                        F.col(feat_col).alias("features"))
+    if gparams.normalise:
+        # P1 unit-norm pre-normalization, mirroring the standard
+        # builder (builder.py): extend_energy normalises appended
+        # vectors when gparams.normalise, so the base corpus MUST be
+        # stored at the same scale — otherwise appended items' λ/e and
+        # their L2-argmin centroid assignment run against raw-scale
+        # members and centers (ADVICE r8 medium). When `edges` is
+        # passed in from a standard build it was computed on the
+        # normalised corpus already (and rectified-cosine topology is
+        # scale-invariant anyway), so the graphs agree either way.
+        from ..functions import vector as V
+
+        base = base.withColumn("features", V.l2_normalize("features"))
+    base = base.persist()
     first = base.select(F.size("features").alias("n")).first()
     n_features = int(first["n"])
 
@@ -692,6 +706,7 @@ def extend_energy(
     id_col: str = "item_id",
     feat_col: str = "features",
     refresh_centroid_attrs: bool = True,
+    check_ids: bool = False,
 ) -> EnergyIndex:
     """Batch incremental energy-index maintenance — the energy twin of
     `ArrowSpaceBuilder.extend` (builder.py), with the same frozen-
@@ -717,6 +732,13 @@ def extend_energy(
     with current statistics; cost is one grouped kernel over the
     affected centroids' members. With it off, the centroid table is
     fully frozen and only the member rescore sees the new items.
+
+    Id uniqueness is the CALLER's contract (same as the standard
+    builder's extend): appending an item_id that already exists
+    silently duplicates it in every downstream rescore. `check_ids`
+    (default off) verifies it with one anti-join probe — off by
+    default because the probe scans the existing items table, which
+    breaks the O(new items) cost contract on a large index.
     """
     first = new_items.select(F.size(feat_col).alias("n")).first()
     if first is None:
@@ -727,6 +749,14 @@ def extend_energy(
             f"new items have {first['n']} features, index has {nf}")
     add = new_items.select(
         F.col(id_col).alias("item_id"), F.col(feat_col).alias("features"))
+    if check_ids:
+        dup = (index.items.select("item_id")
+               .join(F.broadcast(add.select("item_id")), "item_id")
+               .first())
+        if dup is not None:
+            raise ValueError(
+                f"extend_energy: item_id {dup['item_id']} already "
+                "exists in the index (ids must be unique)")
     if index.graph_params.normalise:
         from ..functions import vector as V
 
@@ -758,7 +788,13 @@ def extend_energy(
         .select("item_id",
                 F.element_at(cid_lits, F.col("_pos") + 1)
                 .alias("centroid_id"))
-    )
+    ).persist()
+    # persisted: consumed by the items join below AND the affected-
+    # centroid distinct — unpersisted, the ivf_assign gemm and the
+    # upstream λ kernel over the new items ran twice (ADVICE r8).
+    # The cache is dropped once items_all is materialized by the
+    # caller's first action... which we cannot see; it stays cached
+    # for the (small, O(new)) frame's lifetime instead.
     new_members = indexed.join(assigned, "item_id")
     items_all = index.items.unionByName(new_members)
 
