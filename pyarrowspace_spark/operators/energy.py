@@ -81,6 +81,7 @@ def diffusion_step(
     n_groups: int = 512,
     both: DataFrame | None = None,
     deg: DataFrame | None = None,
+    msg_dtype: str = "float64",
 ) -> DataFrame:
     """One distributed heat-diffusion step:
     x_i ← (1 − η·deg_i)·x_i + η·Σ_j w_ij·x_j.
@@ -122,8 +123,19 @@ def diffusion_step(
     rounding error; the per-step constant IS the E·F array-message
     shuffle through the groupBy(_g) kernel (the items-side exchange is
     N·F, ~3% of it). Cutting it further means cutting message volume
-    itself (e.g. quantized message arrays), not join choreography —
-    don't re-try partitioning-reuse tweaks expecting step-2 savings.
+    itself, not join choreography — don't re-try partitioning-reuse
+    tweaks expecting step-2 savings. `msg_dtype="float32"` is that
+    volume cut: the source feature array is cast to float<4B> BEFORE
+    the edge→feature shuffle, halving both the E·F shuffle bytes and
+    the Arrow transfer into the sum kernel; the segment matvec then
+    runs in fp32 and the result is emitted back as float64. Relative
+    error vs the fp64 message path is bounded by fp32 representation
+    + a ~deg-term fp32 dot product, ≈1e-6 — pinned by
+    tests/test_round10_fixes.py against the exact numpy step. Default
+    stays float64 so `diffusion_step` in isolation remains exact
+    (test_diffusion_step_matches_numpy, rtol 1e-12); `diffuse` opts
+    its distributed tier into float32 (see there for the measured
+    step-time effect).
     """
     if both is None:
         both = _symmetrize(edges)
@@ -131,15 +143,21 @@ def diffusion_step(
         deg = both.groupBy(F.col("dst").alias(id_col)).agg(
             F.sum("weight").alias("_deg")
         )
+    fp32_msgs = str(msg_dtype).lower() in ("float32", "fp32", "f32")
+    xf = F.col(feat_col)
+    if fp32_msgs:
+        xf = xf.cast("array<float>")
     msgs = both.join(
-        items.select(F.col(id_col).alias("src"),
-                     F.col(feat_col).alias("_xf")),
+        items.select(F.col(id_col).alias("src"), xf.alias("_xf")),
         "src",
     ).select("dst", "weight", "_xf")
 
     def _sum_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        M = np.stack(pdf["_xf"].to_numpy()).astype(np.float64)
-        w = pdf["weight"].to_numpy(np.float64)
+        # fp32 messages stay fp32 through the segment matvec (half the
+        # stack memory + 2x gemv bandwidth); fp64 path unchanged.
+        mdt = np.float32 if fp32_msgs else np.float64
+        M = np.stack(pdf["_xf"].to_numpy()).astype(mdt, copy=False)
+        w = pdf["weight"].to_numpy(mdt)
         dstv = pdf["dst"].to_numpy(np.int64)
         order = np.argsort(dstv, kind="stable")
         dsts, starts = np.unique(dstv[order], return_index=True)
@@ -237,7 +255,8 @@ def _diffuse_driver(
 
 def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
             id_col: str = "item_id", feat_col: str = "features",
-            step_times: "list[float] | None" = None) -> DataFrame:
+            step_times: "list[float] | None" = None,
+            msg_dtype: str | None = None) -> DataFrame:
     """G12 heat diffusion, `steps` iterations. Physical tiers:
 
     - driver tier (N·F·8 ≤ DIFFUSE_BROADCAST_MAX_BYTES, default 4 GiB
@@ -258,6 +277,17 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
     (the round-8 bench filled a 62 GB disk timing 1-step + 2-step runs
     back to back). Default None: production path unchanged (lazy
     intermediate checkpoints, one job at the consuming action).
+
+    `msg_dtype` (distributed tier only): dtype of the per-edge feature
+    message arrays. Default (None → env SPARK_GRAFT_DIFFUSE_MSG_DTYPE
+    → "float32") halves the per-step E·F shuffle volume — the measured
+    whole of the distributed-tier constant (round-8 note above in
+    `diffusion_step`) — at a pinned ≈1e-6 relative error vs the fp64
+    path (tests/test_round10_fixes.py). Pass "float64" for the exact
+    tier (tests/test_energy.py tier-agreement pin). The driver tier is
+    always fp64 — it never ships messages — so the default-path oracle
+    (`energy_diffusion`, driver tier at oracle scale) is bit-identical
+    either way.
     """
     if int(steps) <= 0:
         return items.select(id_col, feat_col)
@@ -309,13 +339,17 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
     n_groups = int(min(1 << 16, max(64, -(-n_sym_edges // rows_per_group))))
     deg = both.groupBy(F.col("dst").alias(id_col)).agg(
         F.sum("weight").alias("_deg")).persist()
+    if msg_dtype is None:
+        msg_dtype = os.environ.get(
+            "SPARK_GRAFT_DIFFUSE_MSG_DTYPE", "float32")
     try:
         out = items.select(id_col, feat_col)
         last = int(steps) - 1
         for i in range(int(steps)):
             t0 = time.time() if step_times is not None else 0.0
             out = diffusion_step(out, edges, eta, id_col, feat_col,
-                                 n_groups, both=both, deg=deg)
+                                 n_groups, both=both, deg=deg,
+                                 msg_dtype=msg_dtype)
             # final step checkpoints EAGERLY so the result no longer
             # depends on both/deg and they can be dropped below, not
             # leaked
@@ -403,12 +437,14 @@ class EnergyIndex:
 
     def extend(self, new_items: DataFrame, id_col: str = "item_id",
                feat_col: str = "features",
-               refresh_centroid_attrs: bool = True) -> "EnergyIndex":
+               refresh_centroid_attrs: bool = True,
+               check_ids: bool = False) -> "EnergyIndex":
         """Incremental append against frozen artifacts — see
         `extend_energy` (module level) for the contract."""
         return extend_energy(self, new_items, id_col=id_col,
                              feat_col=feat_col,
-                             refresh_centroid_attrs=refresh_centroid_attrs)
+                             refresh_centroid_attrs=refresh_centroid_attrs,
+                             check_ids=check_ids)
 
     @classmethod
     def load(cls, spark, path: str) -> "EnergyIndex":
@@ -736,9 +772,11 @@ def extend_energy(
     Id uniqueness is the CALLER's contract (same as the standard
     builder's extend): appending an item_id that already exists
     silently duplicates it in every downstream rescore. `check_ids`
-    (default off) verifies it with one anti-join probe — off by
-    default because the probe scans the existing items table, which
-    breaks the O(new items) cost contract on a large index.
+    (default off) verifies it with one broadcast join probe against
+    the existing items table PLUS a groupBy probe for duplicates
+    within the new batch itself — off by default because the first
+    probe scans the existing items table, which breaks the O(new
+    items) cost contract on a large index.
     """
     first = new_items.select(F.size(feat_col).alias("n")).first()
     if first is None:
@@ -757,6 +795,13 @@ def extend_energy(
             raise ValueError(
                 f"extend_energy: item_id {dup['item_id']} already "
                 "exists in the index (ids must be unique)")
+        dup_in = (add.groupBy("item_id").count()
+                  .filter(F.col("count") > 1).first())
+        if dup_in is not None:
+            raise ValueError(
+                f"extend_energy: item_id {dup_in['item_id']} appears "
+                f"{dup_in['count']} times in the new batch "
+                "(ids must be unique)")
     if index.graph_params.normalise:
         from ..functions import vector as V
 
@@ -788,13 +833,16 @@ def extend_energy(
         .select("item_id",
                 F.element_at(cid_lits, F.col("_pos") + 1)
                 .alias("centroid_id"))
-    ).persist()
-    # persisted: consumed by the items join below AND the affected-
-    # centroid distinct — unpersisted, the ivf_assign gemm and the
-    # upstream λ kernel over the new items ran twice (ADVICE r8).
-    # The cache is dropped once items_all is materialized by the
-    # caller's first action... which we cannot see; it stays cached
-    # for the (small, O(new)) frame's lifetime instead.
+    ).localCheckpoint(eager=True)
+    # eager localCheckpoint, NOT persist: it is consumed by the items
+    # join below AND the affected-centroid distinct — as a lazy plan
+    # the ivf_assign gemm and the upstream λ kernel over the new items
+    # ran twice (ADVICE r8). A persist() fixed the recompute but was
+    # never unpersisted, so repeated extends on a long-lived session
+    # accumulated cached frames (ADVICE r9). The checkpoint
+    # materializes the (O(new items), narrow) frame exactly once, and
+    # its blocks are reclaimed by the ContextCleaner when the frame
+    # goes out of scope — no session-lifetime leak, no recompute.
     new_members = indexed.join(assigned, "item_id")
     items_all = index.items.unionByName(new_members)
 

@@ -366,7 +366,19 @@ def _pairwise_candidates_lsh(
                                            schema=count_schema)
         .groupBy("band", "key").agg(F.count("*").alias("_cnt"))
     )
-    oversized = sizes.filter(F.col("_cnt") > F.lit(b_max))
+    # Collect the census ONCE and re-broadcast it as a local frame:
+    # `oversized` is joined inside _group_pairs, so as a lazy plan the
+    # full-corpus hash_keys_only pass AND its (map-side combined)
+    # shuffle re-ran per band group — n_groups redundant census passes
+    # at exactly the N≥800k scales the grouping targets (ADVICE r9).
+    # The result is tiny (only keys with >b_max members; empty on a
+    # non-degenerate corpus), the re-hash of the MAIN pass per group
+    # remains the deliberate disk-over-CPU tradeoff.
+    ov_rows = [(int(r["band"]), int(r["key"]), int(r["_cnt"]))
+               for r in sizes.filter(
+                   F.col("_cnt") > F.lit(b_max)).collect()]
+    oversized = items.sparkSession.createDataFrame(
+        ov_rows, schema="band int, key long, _cnt long")
 
     # Scratch-disk budget: the bucket stage shuffles N·bands rows each
     # carrying a fdim-float32 unit vector, and the groupBy sort spills

@@ -61,9 +61,27 @@ _ABORT = threading.Event()
 _PEAK_USED_GB = [0.0]
 
 
-def _watchdog(sc, artifact: str, out: dict) -> None:
+def _scratch_path(spark) -> str:
+    """Filesystem the watchdog must guard: where shuffle/spill actually
+    lands — $SPARK_GRAFT_SCRATCH_DIR, else the session's
+    spark.local.dir (first entry of a comma list), else Spark's /tmp
+    default. Probing "/" was only correct on a single-disk host
+    (ADVICE r9 low: silently inert wherever scratch is a separate
+    mount)."""
+    p = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+    if not p:
+        try:
+            p = spark.conf.get("spark.local.dir")
+        except Exception:
+            p = None
+        p = (p or os.environ.get("SPARK_LOCAL_DIRS")
+             or "/tmp").split(",")[0].strip()
+    return p if os.path.isdir(p) else "/"
+
+
+def _watchdog(sc, artifact: str, out: dict, scratch: str) -> None:
     while not _ABORT.is_set():
-        u = shutil.disk_usage("/")
+        u = shutil.disk_usage(scratch)
         _PEAK_USED_GB[0] = max(_PEAK_USED_GB[0], u.used / 1024**3)
         if u.free / 1024**3 < WATCHDOG_MIN_FREE_GB:
             _ABORT.set()
@@ -95,7 +113,6 @@ def main() -> None:
         "blas_threads_driver": int(_DRIVER_BLAS),
         "blas_threads_worker": int(_WORKER_BLAS),
         "loadavg_start": [round(v, 2) for v in os.getloadavg()],
-        "disk_free_start_gb": round(shutil.disk_usage("/").free / 1024**3, 1),
     }
     # host probes (same trio as bench.py: warm memcpy + fixed gemm)
     _buf = np.random.standard_normal(100_000_000 // 8)
@@ -123,13 +140,18 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     entry_mod._ship_package(spark)
+    scratch = _scratch_path(spark)
+    out["scratch_path"] = scratch
+    out["disk_free_start_gb"] = round(
+        shutil.disk_usage(scratch).free / 1024**3, 1)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # artifact name tracks N (BENCH_1M_r08.json at the default,
-    # BENCH_800k_r08.json at M1M_N=800000, ...)
+    # artifact name tracks N and the round tag (BENCH_1M_r10.json at
+    # the defaults, BENCH_800k_r10.json at M1M_N=800000, ...)
     label = "1M" if n == 1_000_000 else f"{n // 1000}k"
-    artifact = os.path.join(repo, f"BENCH_{label}_r08.json")
+    tag = os.environ.get("M1M_TAG", "r10")
+    artifact = os.path.join(repo, f"BENCH_{label}_{tag}.json")
     threading.Thread(target=_watchdog,
-                     args=(spark.sparkContext, artifact, out),
+                     args=(spark.sparkContext, artifact, out, scratch),
                      daemon=True).start()
     cache = os.path.join(repo, ".benchdata")
     path = ensure_clustered_corpus(cache, n=n, f=384)
@@ -139,7 +161,7 @@ def main() -> None:
         out["aborted"] = partial
         out["disk_peak_used_gb"] = round(_PEAK_USED_GB[0], 1)
         out["disk_free_end_gb"] = round(
-            shutil.disk_usage("/").free / 1024**3, 1)
+            shutil.disk_usage(scratch).free / 1024**3, 1)
         out["loadavg_end"] = [round(v, 2) for v in os.getloadavg()]
         line = json.dumps(out)
         with open(artifact, "w") as fh:
@@ -210,6 +232,34 @@ def main() -> None:
         search_energy(eidx, qmat, k=TOPK,
                       query_ids=list(range(len(qmat)))).collect()
         out["energy_search_50q_sec"] = round(time.time() - t0, 1)
+
+        # Distributed-diffusion scale anchor (r8/r9 verdict task: the
+        # beyond-broadcast tier — the only tier legal at 100× scale —
+        # had never been timed past N=313k because the driver tier
+        # keeps winning eligibility). M1M_DIFFUSE_DIST_STEPS>0 forces
+        # the distributed tier on the already-built λτ-graph for that
+        # many instrumented steps (eager per-step materialization +
+        # shuffle GC, so peak scratch ≈ 1 step regardless of count).
+        dd_steps = int(os.environ.get("M1M_DIFFUSE_DIST_STEPS", "0"))
+        if dd_steps > 0:
+            from pyarrowspace_spark.operators import energy as energy_mod
+
+            dd_dtype = os.environ.get(
+                "SPARK_GRAFT_DIFFUSE_MSG_DTYPE", "float32")
+            ceil0 = energy_mod.DIFFUSE_BROADCAST_MAX_BYTES
+            energy_mod.DIFFUSE_BROADCAST_MAX_BYTES = 0
+            try:
+                st: list[float] = []
+                t0 = time.time()
+                energy_mod.diffuse(big, idx.edges, eta=0.05,
+                                   steps=dd_steps, step_times=st).count()
+                out["diffuse_dist_total_sec"] = round(time.time() - t0, 1)
+                out["diffuse_dist_step_secs"] = st
+                out["diffuse_dist_msg_dtype"] = dd_dtype
+                out["diffuse_dist_peak_used_gb"] = round(
+                    _PEAK_USED_GB[0], 1)
+            finally:
+                energy_mod.DIFFUSE_BROADCAST_MAX_BYTES = ceil0
     except Exception as e:
         out["error"] = f"{type(e).__name__}: {e}"[:500]
         finish(partial=True)

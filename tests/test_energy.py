@@ -113,9 +113,12 @@ def test_diffuse_tiers_agree(spark, test0_items_df, edges, monkeypatch):
     the same operator; multi-step outputs must agree to fp noise."""
     a = E.diffuse(test0_items_df, edges, eta=0.1, steps=3)
     got_a = {r["item_id"]: np.array(r["features"]) for r in a.collect()}
-    # force the beyond-broadcast tier
+    # force the beyond-broadcast tier; msg_dtype="float64" pins the
+    # EXACT distributed tier (the default fp32 message tier's ≈1e-6
+    # error bound is pinned separately in test_round10_fixes.py)
     monkeypatch.setattr(E, "DIFFUSE_BROADCAST_MAX_BYTES", 0)
-    b = E.diffuse(test0_items_df, edges, eta=0.1, steps=3)
+    b = E.diffuse(test0_items_df, edges, eta=0.1, steps=3,
+                  msg_dtype="float64")
     got_b = {r["item_id"]: np.array(r["features"]) for r in b.collect()}
     assert set(got_a) == set(got_b)
     for i in got_a:

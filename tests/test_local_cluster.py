@@ -66,9 +66,12 @@ knn_mod.EXACT_PATH_MAX_ROWS = exact0
 gather_err = float(np.abs(lf_gather - idx.feature_laplacian).max())
 dist_err = float(np.abs(lf_dist - idx.feature_laplacian).max())
 
-# Distributed diffusion tier (the 100-TB path) across two executor JVMs
+# Distributed diffusion tier (the 100-TB path) across two executor
+# JVMs; msg_dtype="float64" pins the EXACT tier against the driver
+# tier at 1e-9 (the default fp32 message tier's ~1e-6 bound is pinned
+# in test_round10_fixes.py on the single-JVM session)
 E.DIFFUSE_BROADCAST_MAX_BYTES = 0
-d = E.diffuse(items, idx.edges, eta=0.05, steps=2)
+d = E.diffuse(items, idx.edges, eta=0.05, steps=2, msg_dtype="float64")
 d_sum = float(np.sum([float(np.sum(r["features"])) for r in d.collect()]))
 
 print("RESULT " + json.dumps({

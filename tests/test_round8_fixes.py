@@ -98,8 +98,10 @@ def test_diffuse_checks_edge_collect_eligibility(spark, test0_items_df,
            for r in E.diffuse(test0_items_df, edges,
                               eta=0.05, steps=2).collect()}
     assert set(got) == set(want)
+    # fp32 message bound — this pins tier ROUTING; the exact-tier
+    # parity pin (msg_dtype=float64, 1e-9) lives in test_energy.py
     for k in want:
-        assert got[k] == pytest.approx(want[k], rel=1e-9, abs=1e-12)
+        assert got[k] == pytest.approx(want[k], rel=1e-5, abs=1e-9)
 
 
 def test_saved_serving_join_no_corpus_exchange(spark, tmp_path):
