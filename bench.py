@@ -441,6 +441,11 @@ def main() -> None:
                     # extra["diffuse_step1_sec"] here)
                     extra["diffuse_step1_sec"] = step_secs[0]
                     extra["diffuse_step2_marginal_sec"] = step_secs[1]
+                # artifact self-description: r10 defaults the
+                # distributed tier to fp32 edge messages, so cross-
+                # round step-time comparisons need the dtype pinned
+                extra["diffuse_msg_dtype"] = os.environ.get(
+                    "SPARK_GRAFT_DIFFUSE_MSG_DTYPE", "float32")
             finally:
                 energy_mod.DIFFUSE_BROADCAST_MAX_BYTES = ceil0
 

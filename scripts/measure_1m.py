@@ -112,6 +112,11 @@ def main() -> None:
         "n": n, "n_planes": N_PLANES, "topk": TOPK, "aborted": False,
         "blas_threads_driver": int(_DRIVER_BLAS),
         "blas_threads_worker": int(_WORKER_BLAS),
+        # the first 800k attempt OOM'd the 16g-default driver JVM heap
+        # inside build_energy's Arrow collect (local mode: driver ==
+        # executor, so the heap also carries 32 task threads' shuffle
+        # state); the artifact must pin the heap it ran under
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         "loadavg_start": [round(v, 2) for v in os.getloadavg()],
     }
     # host probes (same trio as bench.py: warm memcpy + fixed gemm)
