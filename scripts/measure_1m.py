@@ -106,6 +106,63 @@ def _watchdog(sc, artifact: str, out: dict, scratch: str) -> None:
         time.sleep(3)
 
 
+def _search_and_energy_phases(spark, big, idx, n: int, out: dict) -> None:
+    """ANN recall, exact-vs-ANN 50-query search, and the energy
+    pipeline (graph reuse) — the full-anchor phases skipped by
+    M1M_DD_ONLY=1."""
+    n_tables = auto_lsh_tables(N_PLANES, target_recall=0.95, n_items=n)
+    out["ann_n_tables"] = n_tables
+    planes = lsh_hyperplanes(384, n_tables=n_tables, n_planes=N_PLANES)
+    t0 = time.time()
+    hashed = with_lsh_buckets(
+        idx.items.select("item_id", "features", "e_raw", "g"),
+        planes).persist()
+    hashed.count()
+    out["ann_hash_sec"] = round(time.time() - t0, 1)
+
+    qrows = (big.filter(F.col("item_id") < 5 * N_QUERIES)
+             .orderBy("item_id").limit(N_QUERIES).collect())
+    qmat = np.array([r["features"] for r in qrows]) * 1.05
+    qdf = spark.createDataFrame(
+        [(int(i), [float(v) for v in qmat[i]])
+         for i in range(len(qmat))],
+        schema="query_id long, features array<double>")
+
+    t0 = time.time()
+    exact_sets: dict[int, set] = {}
+    for r in search(idx.items, idx.feature_laplacian, qmat, tau=TAU,
+                    k=TOPK).select("query_id", "item_id").collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["item_id"])
+    out["exact_search_50q_sec"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    ann_sets: dict[int, set] = {}
+    for r in search_ann(hashed, idx.feature_laplacian, qdf, tau=TAU,
+                        k=TOPK, planes=planes
+                        ).select("query_id", "item_id").collect():
+        ann_sets.setdefault(r["query_id"], set()).add(r["item_id"])
+    out["ann_search_50q_sec"] = round(time.time() - t0, 1)
+    recalls = [len(ann_sets.get(q, set()) & hits) / max(len(hits), 1)
+               for q, hits in exact_sets.items()]
+    out["ann_recall_at_15"] = round(float(np.mean(recalls)), 4)
+    hashed.unpersist()
+
+    # energy pipeline, graph reuse (same shape as the 313k anchor)
+    from pyarrowspace_spark.operators.energy import (build_energy,
+                                                     search_energy)
+
+    t0 = time.time()
+    eidx = build_energy(
+        big, EnergyParams(eta=0.05, steps=4, optical_tokens=40),
+        GraphParams(eps=0.99, k=25, topk=15, p=2.0), edges=idx.edges)
+    eidx.items.count(), eidx.centroids.count()
+    out["energy_build_sec"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    search_energy(eidx, qmat, k=TOPK,
+                  query_ids=list(range(len(qmat)))).collect()
+    out["energy_search_50q_sec"] = round(time.time() - t0, 1)
+
+
 def main() -> None:
     n = int(os.environ.get("M1M_N", "1000000"))
     out: dict[str, object] = {
@@ -186,57 +243,12 @@ def main() -> None:
         out["build_sec"] = round(time.time() - t0, 1)
         out["build_items_per_sec"] = round(n / (time.time() - t0), 1)
 
-        n_tables = auto_lsh_tables(N_PLANES, target_recall=0.95, n_items=n)
-        out["ann_n_tables"] = n_tables
-        planes = lsh_hyperplanes(384, n_tables=n_tables, n_planes=N_PLANES)
-        t0 = time.time()
-        hashed = with_lsh_buckets(
-            idx.items.select("item_id", "features", "e_raw", "g"),
-            planes).persist()
-        hashed.count()
-        out["ann_hash_sec"] = round(time.time() - t0, 1)
-
-        qrows = (big.filter(F.col("item_id") < 5 * N_QUERIES)
-                 .orderBy("item_id").limit(N_QUERIES).collect())
-        qmat = np.array([r["features"] for r in qrows]) * 1.05
-        qdf = spark.createDataFrame(
-            [(int(i), [float(v) for v in qmat[i]])
-             for i in range(len(qmat))],
-            schema="query_id long, features array<double>")
-
-        t0 = time.time()
-        exact_sets: dict[int, set] = {}
-        for r in search(idx.items, idx.feature_laplacian, qmat, tau=TAU,
-                        k=TOPK).select("query_id", "item_id").collect():
-            exact_sets.setdefault(r["query_id"], set()).add(r["item_id"])
-        out["exact_search_50q_sec"] = round(time.time() - t0, 1)
-
-        t0 = time.time()
-        ann_sets: dict[int, set] = {}
-        for r in search_ann(hashed, idx.feature_laplacian, qdf, tau=TAU,
-                            k=TOPK, planes=planes
-                            ).select("query_id", "item_id").collect():
-            ann_sets.setdefault(r["query_id"], set()).add(r["item_id"])
-        out["ann_search_50q_sec"] = round(time.time() - t0, 1)
-        recalls = [len(ann_sets.get(q, set()) & hits) / max(len(hits), 1)
-                   for q, hits in exact_sets.items()]
-        out["ann_recall_at_15"] = round(float(np.mean(recalls)), 4)
-        hashed.unpersist()
-
-        # energy pipeline, graph reuse (same shape as the 313k anchor)
-        from pyarrowspace_spark.operators.energy import (build_energy,
-                                                         search_energy)
-
-        t0 = time.time()
-        eidx = build_energy(
-            big, EnergyParams(eta=0.05, steps=4, optical_tokens=40),
-            GraphParams(eps=0.99, k=25, topk=15, p=2.0), edges=idx.edges)
-        eidx.items.count(), eidx.centroids.count()
-        out["energy_build_sec"] = round(time.time() - t0, 1)
-        t0 = time.time()
-        search_energy(eidx, qmat, k=TOPK,
-                      query_ids=list(range(len(qmat)))).collect()
-        out["energy_search_50q_sec"] = round(time.time() - t0, 1)
+        # M1M_DD_ONLY=1: skip the ANN/exact/energy phases (~25 min at
+        # N=313k) — the dtype-comparison run only needs the λτ-graph
+        # build plus the instrumented distributed-diffusion section.
+        dd_only = os.environ.get("M1M_DD_ONLY", "0") == "1"
+        if not dd_only:
+            _search_and_energy_phases(spark, big, idx, n, out)
 
         # Distributed-diffusion scale anchor (r8/r9 verdict task: the
         # beyond-broadcast tier — the only tier legal at 100× scale —
@@ -251,18 +263,30 @@ def main() -> None:
 
             dd_dtype = os.environ.get(
                 "SPARK_GRAFT_DIFFUSE_MSG_DTYPE", "float32")
+            # M1M_DIFFUSE_DIST_DTYPES="float32,float64" runs the
+            # instrumented steps once per dtype in the SAME process on
+            # the same graph — the apples-to-apples evidence for the
+            # fp32 message-volume cut (r9 verdict task #3). The first
+            # dtype keeps the unsuffixed field names for ledger
+            # continuity; later ones get _<dtype> suffixes.
+            dd_dtypes = [s.strip() for s in os.environ.get(
+                "M1M_DIFFUSE_DIST_DTYPES", dd_dtype).split(",") if s.strip()]
             ceil0 = energy_mod.DIFFUSE_BROADCAST_MAX_BYTES
             energy_mod.DIFFUSE_BROADCAST_MAX_BYTES = 0
             try:
-                st: list[float] = []
-                t0 = time.time()
-                energy_mod.diffuse(big, idx.edges, eta=0.05,
-                                   steps=dd_steps, step_times=st).count()
-                out["diffuse_dist_total_sec"] = round(time.time() - t0, 1)
-                out["diffuse_dist_step_secs"] = st
-                out["diffuse_dist_msg_dtype"] = dd_dtype
-                out["diffuse_dist_peak_used_gb"] = round(
-                    _PEAK_USED_GB[0], 1)
+                for di, dt in enumerate(dd_dtypes):
+                    sfx = "" if di == 0 else f"_{dt}"
+                    st: list[float] = []
+                    t0 = time.time()
+                    energy_mod.diffuse(big, idx.edges, eta=0.05,
+                                       steps=dd_steps, step_times=st,
+                                       msg_dtype=dt).count()
+                    out[f"diffuse_dist_total_sec{sfx}"] = round(
+                        time.time() - t0, 1)
+                    out[f"diffuse_dist_step_secs{sfx}"] = st
+                    out[f"diffuse_dist_msg_dtype{sfx}"] = dt
+                    out[f"diffuse_dist_peak_used_gb{sfx}"] = round(
+                        _PEAK_USED_GB[0], 1)
             finally:
                 energy_mod.DIFFUSE_BROADCAST_MAX_BYTES = ceil0
     except Exception as e:
