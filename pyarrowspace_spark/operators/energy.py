@@ -71,6 +71,120 @@ DIFFUSE_BROADCAST_MAX_BYTES = int(
     os.environ.get("SPARK_GRAFT_DIFFUSE_BCAST_MAX", str(4 * 1024**3))
 )
 
+# Set by `diffuse` on each distributed-tier invocation: the chosen
+# feature-chunk count, symmetrized edge count, and message dtype.
+# Instrumentation breadcrumb for the measurement harness only — not a
+# public API.
+_LAST_DIFFUSE_INFO: dict | None = None
+
+
+def _make_sum_kernel(fp32_msgs: bool, id_col: str):
+    """Per-destination message-sum kernel shared by the full-width and
+    feature-chunked step variants. fp32 messages stay fp32 through the
+    segment matvec (half the stack memory + 2x gemv bandwidth); the
+    fp64 path is exact."""
+
+    def _sum_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        mdt = np.float32 if fp32_msgs else np.float64
+        M = np.stack(pdf["_xf"].to_numpy()).astype(mdt, copy=False)
+        w = pdf["weight"].to_numpy(mdt)
+        dstv = pdf["dst"].to_numpy(np.int64)
+        order = np.argsort(dstv, kind="stable")
+        dsts, starts = np.unique(dstv[order], return_index=True)
+        Ms, ws = M[order], w[order]
+        bnds = np.append(starts, len(dstv))
+        # fused matvec per segment — see _diffuse_driver for why this
+        # beats np.add.reduceat(…, axis=0) on wide C-ordered rows
+        nsum = np.empty((len(dsts), M.shape[1]))
+        for i in range(len(dsts)):
+            s, e = bnds[i], bnds[i + 1]
+            nsum[i] = ws[s:e] @ Ms[s:e]
+        return pd.DataFrame({id_col: dsts, "_nsum": list(nsum)})
+
+    return _sum_kernel
+
+
+def _diffusion_step_chunked(
+    items: DataFrame, eta: float, id_col: str, feat_col: str,
+    n_groups: int, both: DataFrame, deg: DataFrame, fp32_msgs: bool,
+    feat_chunks: int, nf: int | None,
+) -> DataFrame:
+    """Feature-block variant of `diffusion_step`: the step is computed
+    per contiguous feature slice [a, b), and each slice's message
+    shuffle is materialized (eager localCheckpoint + JVM GC) before the
+    next begins — so peak scratch disk is ONE chunk's E·(b−a) message
+    volume instead of the full E·F. The per-feature arithmetic is
+    independent across dims, so the split is exact (chunked ≡
+    full-width, pinned in tests/test_round10_fixes.py).
+
+    This is the second half of the r9 verdict's message-volume task:
+    fp32 halves the bytes; chunking bounds the PEAK. The measured need:
+    at N=800k, F=384, fp32, one step's message shuffle is ~61 GB raw —
+    it overran a 93 GB single-disk host mid-step (BENCH_800k_r10.json,
+    78.2 GB peak) even though TOTAL volume was fine. On a multi-disk
+    cluster chunking matters less (shuffle spreads across executors'
+    disks), which is why the default budget only splits steps whose
+    single-stage shuffle exceeds SPARK_GRAFT_DIFFUSE_CHUNK_MSG_BYTES
+    (16 GiB).
+
+    Cost of a chunk: one N·(b−a) items-side exchange against the
+    pre-partitioned edge list plus a repeated E-row argsort in the sum
+    kernel; total matvec work is unchanged."""
+    spark = items.sparkSession
+    if nf is None:
+        row = items.select(F.size(feat_col).alias("f")).first()
+        if row is None:
+            return items.select(id_col, feat_col)
+        nf = int(row["f"])
+    k = max(1, min(int(feat_chunks), int(nf)))
+    bounds = [round(i * nf / k) for i in range(k + 1)]
+    base = items.select(id_col, feat_col)
+    kernel = _make_sum_kernel(fp32_msgs, id_col)
+    parts: list[DataFrame] = []
+    for ci in range(k):
+        a, b = bounds[ci], bounds[ci + 1]
+        xfc = F.slice(F.col(feat_col), a + 1, b - a)
+        if fp32_msgs:
+            xfc = xfc.cast("array<float>")
+        msgs = both.join(
+            base.select(F.col(id_col).alias("src"), xfc.alias("_xf")),
+            "src",
+        ).select("dst", "weight", "_xf")
+        nsum = (
+            msgs.withColumn(
+                "_g", F.pmod(F.xxhash64("dst"), F.lit(int(n_groups))))
+            .groupBy("_g")
+            .applyInPandas(kernel, f"{id_col} long, _nsum array<double>")
+        )
+        scale = F.lit(1.0) - F.lit(eta) * F.coalesce("_deg", F.lit(0.0))
+        filled = F.coalesce("_nsum", F.array_repeat(F.lit(0.0), b - a))
+        part = (
+            base.select(
+                id_col,
+                F.slice(F.col(feat_col), a + 1, b - a).alias("_xc"))
+            .join(deg, id_col, "left")
+            .join(nsum, id_col, "left")
+            .select(
+                id_col,
+                F.zip_with(
+                    "_xc", filled,
+                    lambda x, s: scale * x + F.lit(eta) * s,
+                ).alias(f"_c{ci}"),
+            )
+        )
+        # THIS bounds peak scratch: the chunk is materialized here and
+        # the previous chunk's now-dead shuffle files reclaimed before
+        # the next chunk's shuffle starts stacking on top of them.
+        part = part.localCheckpoint(eager=True)
+        spark.sparkContext._jvm.System.gc()
+        parts.append(part)
+    out = parts[0]
+    for ci in range(1, k):
+        out = out.join(parts[ci], id_col)
+    return out.select(
+        id_col,
+        F.concat(*[f"_c{i}" for i in range(k)]).alias(feat_col))
+
 
 def diffusion_step(
     items: DataFrame,
@@ -82,6 +196,8 @@ def diffusion_step(
     both: DataFrame | None = None,
     deg: DataFrame | None = None,
     msg_dtype: str = "float64",
+    feat_chunks: int = 1,
+    nf: int | None = None,
 ) -> DataFrame:
     """One distributed heat-diffusion step:
     x_i ← (1 − η·deg_i)·x_i + η·Σ_j w_ij·x_j.
@@ -136,6 +252,13 @@ def diffusion_step(
     (test_diffusion_step_matches_numpy, rtol 1e-12); `diffuse` opts
     its distributed tier into float32 (see there for the measured
     step-time effect).
+
+    `feat_chunks` > 1 computes the step per contiguous feature slice
+    with eager materialization between slices, bounding peak scratch
+    to one slice's message shuffle — see `_diffusion_step_chunked`.
+    The per-dim arithmetic is independent, so the split is exact.
+    `nf` (the feature width) saves the probe job when the caller
+    already knows it; only consulted when chunking.
     """
     if both is None:
         both = _symmetrize(edges)
@@ -144,6 +267,10 @@ def diffusion_step(
             F.sum("weight").alias("_deg")
         )
     fp32_msgs = str(msg_dtype).lower() in ("float32", "fp32", "f32")
+    if int(feat_chunks) > 1:
+        return _diffusion_step_chunked(
+            items, eta, id_col, feat_col, n_groups, both, deg,
+            fp32_msgs, int(feat_chunks), nf)
     xf = F.col(feat_col)
     if fp32_msgs:
         xf = xf.cast("array<float>")
@@ -152,29 +279,11 @@ def diffusion_step(
         "src",
     ).select("dst", "weight", "_xf")
 
-    def _sum_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        # fp32 messages stay fp32 through the segment matvec (half the
-        # stack memory + 2x gemv bandwidth); fp64 path unchanged.
-        mdt = np.float32 if fp32_msgs else np.float64
-        M = np.stack(pdf["_xf"].to_numpy()).astype(mdt, copy=False)
-        w = pdf["weight"].to_numpy(mdt)
-        dstv = pdf["dst"].to_numpy(np.int64)
-        order = np.argsort(dstv, kind="stable")
-        dsts, starts = np.unique(dstv[order], return_index=True)
-        Ms, ws = M[order], w[order]
-        bnds = np.append(starts, len(dstv))
-        # fused matvec per segment — see _diffuse_driver for why this
-        # beats np.add.reduceat(…, axis=0) on wide C-ordered rows
-        nsum = np.empty((len(dsts), M.shape[1]))
-        for i in range(len(dsts)):
-            s, e = bnds[i], bnds[i + 1]
-            nsum[i] = ws[s:e] @ Ms[s:e]
-        return pd.DataFrame({id_col: dsts, "_nsum": list(nsum)})
-
     nsum = (
         msgs.withColumn("_g", F.pmod(F.xxhash64("dst"), F.lit(int(n_groups))))
         .groupBy("_g")
-        .applyInPandas(_sum_kernel, f"{id_col} long, _nsum array<double>")
+        .applyInPandas(_make_sum_kernel(fp32_msgs, id_col),
+                       f"{id_col} long, _nsum array<double>")
     )
     scale = F.lit(1.0) - F.lit(eta) * F.coalesce("_deg", F.lit(0.0))
     filled = F.coalesce(
@@ -342,6 +451,23 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
     if msg_dtype is None:
         msg_dtype = os.environ.get(
             "SPARK_GRAFT_DIFFUSE_MSG_DTYPE", "float32")
+    # Feature-block chunking: split any step whose single-stage message
+    # shuffle would exceed the per-stage budget (default 16 GiB raw) so
+    # peak scratch disk stays bounded regardless of E·F — the N=800k
+    # fp32 step is ~61 GB in one stage and overran a 93 GB single-disk
+    # host (BENCH_800k_r10.json). Exactness of the split is pinned in
+    # tests/test_round10_fixes.py; see _diffusion_step_chunked.
+    msg_val_bytes = 4 if str(msg_dtype).lower() in (
+        "float32", "fp32", "f32") else 8
+    chunk_budget = int(os.environ.get(
+        "SPARK_GRAFT_DIFFUSE_CHUNK_MSG_BYTES", str(16 * 1024**3)))
+    feat_chunks = max(
+        1, -(-(n_sym_edges * nf * msg_val_bytes) // max(chunk_budget, 1)))
+    # instrumentation breadcrumb for the measurement harness (private)
+    global _LAST_DIFFUSE_INFO
+    _LAST_DIFFUSE_INFO = {"n_sym_edges": int(n_sym_edges),
+                          "feat_chunks": int(feat_chunks),
+                          "msg_dtype": str(msg_dtype)}
     try:
         out = items.select(id_col, feat_col)
         last = int(steps) - 1
@@ -349,7 +475,8 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
             t0 = time.time() if step_times is not None else 0.0
             out = diffusion_step(out, edges, eta, id_col, feat_col,
                                  n_groups, both=both, deg=deg,
-                                 msg_dtype=msg_dtype)
+                                 msg_dtype=msg_dtype,
+                                 feat_chunks=feat_chunks, nf=nf)
             # final step checkpoints EAGERLY so the result no longer
             # depends on both/deg and they can be dropped below, not
             # leaked

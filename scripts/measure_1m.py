@@ -287,6 +287,12 @@ def main() -> None:
                     out[f"diffuse_dist_msg_dtype{sfx}"] = dt
                     out[f"diffuse_dist_peak_used_gb{sfx}"] = round(
                         _PEAK_USED_GB[0], 1)
+                    info = getattr(energy_mod, "_LAST_DIFFUSE_INFO", None)
+                    if info:
+                        out[f"diffuse_dist_feat_chunks{sfx}"] = info[
+                            "feat_chunks"]
+                        out[f"diffuse_dist_n_sym_edges{sfx}"] = info[
+                            "n_sym_edges"]
             finally:
                 energy_mod.DIFFUSE_BROADCAST_MAX_BYTES = ceil0
     except Exception as e:

@@ -139,6 +139,56 @@ def test_diffusion_step_fp32_messages(spark, test0_items_df):
         np.testing.assert_allclose(got[i], expect[i], rtol=1e-5)
 
 
+def test_diffusion_step_feat_chunked_exact(spark, test0_items_df):
+    """Feature-block chunking is an EXACT split (per-dim arithmetic is
+    independent): a 3-chunk fp64 step must match the unchunked step and
+    the closed-form x' = x − η·L·x bit-for-bit-ish (rtol 1e-12),
+    including uneven chunk boundaries (F not divisible by 3)."""
+    gp = GraphParams(eps=0.05, k=5, topk=3, p=2.0, sigma=0.05)
+    edges = knn_ops.knn_edges(test0_items_df, gp, strategy="exact")
+    eta = 0.1
+    full = {r["item_id"]: np.array(r["features"])
+            for r in E.diffusion_step(
+                test0_items_df, edges, eta).collect()}
+    chunked = {r["item_id"]: np.array(r["features"])
+               for r in E.diffusion_step(
+                   test0_items_df, edges, eta, feat_chunks=3).collect()}
+    assert set(full) == set(chunked)
+    X = np.array(TEST0_ITEMS)
+    n = len(X)
+    W = np.zeros((n, n))
+    for r in edges.collect():
+        W[r["src"], r["dst"]] = r["weight"]
+        W[r["dst"], r["src"]] = r["weight"]
+    expect = X - eta * ((np.diag(W.sum(1)) - W) @ X)
+    for i in range(n):
+        np.testing.assert_allclose(chunked[i], full[i], rtol=1e-12)
+        np.testing.assert_allclose(chunked[i], expect[i], rtol=1e-12)
+    # chunked output must preserve the feature width
+    assert all(len(v) == X.shape[1] for v in chunked.values())
+
+
+def test_diffuse_auto_chunks_under_budget(spark, test0_items_df,
+                                          monkeypatch):
+    """`diffuse` splits any step whose message shuffle exceeds
+    SPARK_GRAFT_DIFFUSE_CHUNK_MSG_BYTES: with a tiny budget the
+    distributed tier must choose feat_chunks > 1 and still agree with
+    the driver tier within the fp32 bound."""
+    gp = GraphParams(eps=0.05, k=5, topk=3, p=2.0, sigma=0.05)
+    edges = knn_ops.knn_edges(test0_items_df, gp, strategy="exact")
+    a = E.diffuse(test0_items_df, edges, eta=0.1, steps=2)
+    got_a = {r["item_id"]: np.array(r["features"]) for r in a.collect()}
+    monkeypatch.setattr(E, "DIFFUSE_BROADCAST_MAX_BYTES", 0)
+    monkeypatch.setenv("SPARK_GRAFT_DIFFUSE_CHUNK_MSG_BYTES", "64")
+    b = E.diffuse(test0_items_df, edges, eta=0.1, steps=2)
+    got_b = {r["item_id"]: np.array(r["features"]) for r in b.collect()}
+    assert E._LAST_DIFFUSE_INFO is not None
+    assert E._LAST_DIFFUSE_INFO["feat_chunks"] > 1
+    assert set(got_a) == set(got_b)
+    for i in got_a:
+        np.testing.assert_allclose(got_a[i], got_b[i], rtol=1e-5)
+
+
 def test_diffuse_distributed_default_fp32(spark, test0_items_df,
                                           monkeypatch):
     """The distributed tier DEFAULTS to fp32 messages; a multi-step
