@@ -189,6 +189,28 @@ def test_diffuse_auto_chunks_under_budget(spark, test0_items_df,
         np.testing.assert_allclose(got_a[i], got_b[i], rtol=1e-5)
 
 
+def test_diffuse_chunked_matches_driver_at_sf0001(spark, sf_items,
+                                                  monkeypatch):
+    """Chunked distributed tier vs exact driver tier on a REAL graph
+    (500 items, sf0.001 embeddings): multi-group, multi-chunk, fp32 —
+    the same drive that validated the r10 change end-to-end. Bound is
+    the documented fp32 per-step error compounded over 2 steps."""
+    from pyarrowspace_spark.operators.knn import knn_edges
+
+    gp = GraphParams(eps=0.9, k=10, topk=5, p=2.0)
+    edges = knn_edges(sf_items, gp, strategy="exact")
+    a = E.diffuse(sf_items, edges, eta=0.05, steps=2)
+    got_a = {r["item_id"]: np.array(r["features"]) for r in a.collect()}
+    monkeypatch.setattr(E, "DIFFUSE_BROADCAST_MAX_BYTES", 0)
+    monkeypatch.setenv("SPARK_GRAFT_DIFFUSE_CHUNK_MSG_BYTES", "200000")
+    b = E.diffuse(sf_items, edges, eta=0.05, steps=2)
+    got_b = {r["item_id"]: np.array(r["features"]) for r in b.collect()}
+    assert E._LAST_DIFFUSE_INFO["feat_chunks"] > 1
+    assert set(got_a) == set(got_b)
+    for i in got_a:
+        np.testing.assert_allclose(got_a[i], got_b[i], rtol=1e-4)
+
+
 def test_diffuse_distributed_default_fp32(spark, test0_items_df,
                                           monkeypatch):
     """The distributed tier DEFAULTS to fp32 messages; a multi-step
