@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import math
 import os
+import shutil
 
 import numpy as np
 from pyspark.sql import DataFrame, Window
@@ -38,6 +39,11 @@ from pyspark.sql import functions as F
 
 from ..params import GraphParams
 from ..functions import vector as V
+
+# Set by the grouped LSH pair stage on each run: per-group pair-spool
+# bytes and disk free after the group. Instrumentation breadcrumb for
+# measurement harnesses sizing the group budget — not a public API.
+_LAST_LSH_GROUP_INFO: list | None = None
 
 # Above this many items the exact all-pairs join is no longer the plan
 # you'd want on a cluster; switch to LSH candidate generation.
@@ -453,6 +459,15 @@ def _pairwise_candidates_lsh(
         spool = matrix_mod.handoff_eligible(spark, 1 << 62)
         scratch_base = os.environ.get("SPARK_GRAFT_SCRATCH_DIR") or None
         parts = []
+        # Per-group scratch accounting (instrumentation breadcrumb, not
+        # a public API): the N=2M stretch run aborted at 78.6 GB peak
+        # because the group budget models only each group's OWN shuffle
+        # input — the accumulated pair spools of finished groups plus
+        # base disk usage aren't in the model (BENCH_2000k_r10.json).
+        # Sizing the fix needs the measured per-group spool bytes this
+        # list records.
+        global _LAST_LSH_GROUP_INFO
+        _LAST_LSH_GROUP_INFO = []
         for g0 in range(0, nb, gsize):
             gband = list(range(g0, min(g0 + gsize, nb)))
             # the band filter sits directly above the hash map stage,
@@ -465,6 +480,16 @@ def _pairwise_candidates_lsh(
                 matrix_mod._SCRATCH_DIRS.append(d)
                 pairs_g.write.mode("overwrite").parquet(d)
                 parts.append(spark.read.parquet(d))
+                try:
+                    spool_bytes = sum(
+                        os.path.getsize(os.path.join(d, fn))
+                        for fn in os.listdir(d))
+                    free_bytes = shutil.disk_usage(d).free
+                    _LAST_LSH_GROUP_INFO.append(
+                        {"bands": gband, "spool_bytes": int(spool_bytes),
+                         "disk_free_bytes": int(free_bytes)})
+                except OSError:
+                    pass
             else:
                 parts.append(pairs_g.localCheckpoint(eager=True))
             spark.sparkContext._jvm.System.gc()
