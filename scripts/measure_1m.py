@@ -242,6 +242,16 @@ def main() -> None:
         idx.items.count(), idx.edges.count()
         out["build_sec"] = round(time.time() - t0, 1)
         out["build_items_per_sec"] = round(n / (time.time() - t0), 1)
+        # per-band-group pair-spool sizes + disk free (r10: the data
+        # needed to fix the group budget that under-split at N=2M)
+        from pyarrowspace_spark.operators import knn as knn_mod
+
+        ginfo = getattr(knn_mod, "_LAST_LSH_GROUP_INFO", None)
+        if ginfo:
+            out["lsh_group_spool_gb"] = [
+                round(g["spool_bytes"] / 1024**3, 3) for g in ginfo]
+            out["lsh_group_disk_free_gb"] = [
+                round(g["disk_free_bytes"] / 1024**3, 1) for g in ginfo]
 
         # M1M_DD_ONLY=1: skip the ANN/exact/energy phases (~25 min at
         # N=313k) — the dtype-comparison run only needs the λτ-graph
