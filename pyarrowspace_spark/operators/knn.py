@@ -32,6 +32,7 @@ from __future__ import annotations
 import math
 import os
 import shutil
+import time
 
 import numpy as np
 from pyspark.sql import DataFrame, Window
@@ -469,6 +470,7 @@ def _pairwise_candidates_lsh(
         global _LAST_LSH_GROUP_INFO
         _LAST_LSH_GROUP_INFO = []
         for g0 in range(0, nb, gsize):
+            g_t0 = time.time()
             gband = list(range(g0, min(g0 + gsize, nb)))
             # the band filter sits directly above the hash map stage,
             # so each group's exchange writes only its bands' rows
@@ -487,7 +489,8 @@ def _pairwise_candidates_lsh(
                     free_bytes = shutil.disk_usage(d).free
                     _LAST_LSH_GROUP_INFO.append(
                         {"bands": gband, "spool_bytes": int(spool_bytes),
-                         "disk_free_bytes": int(free_bytes)})
+                         "disk_free_bytes": int(free_bytes),
+                         "sec": round(time.time() - g_t0, 1)})
                 except OSError:
                     pass
             else:
