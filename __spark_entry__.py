@@ -1302,8 +1302,24 @@ def q_build_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("k_applied", F.col("k_applied")),
         ("eps_applied", F.col("eps_applied_r")),
     ])
+    # r11: the diffusion physical plan the energy build would run on
+    # THIS corpus shape — tier, message-value bytes, feature-chunk
+    # count (the fp32/chunked at-scale behavior must be diagnostics-
+    # visible, r10 verdict). Pure arithmetic over (N, F, E_sym) +
+    # env-backed budgets; the oracle replays the same formulas.
+    from pyarrowspace_spark.operators import energy as EN
+
+    gsrow = q_graph_sparsity(spark, sf_dir).first()
+    nf = _items(spark, sf_dir).select(
+        F.size("features").alias("nf")).first()["nf"]
+    plan = EN.diffuse_plan(
+        int(gsrow["n_items"]), int(nf), 2 * int(gsrow["n_edges"]))
+    dp = spark.createDataFrame(
+        [("diffuse_plan", m, float(plan[m]))
+         for m in ("distributed_tier", "msg_val_bytes", "feat_chunks")],
+        "section string, metric string, value double")
     out = gs
-    for part in (idim, sp, mr, es, ts, ap):
+    for part in (idim, sp, mr, es, ts, ap, dp):
         out = out.unionAll(part)
     return out
 
@@ -3314,11 +3330,24 @@ FROM stats GROUP BY lang"""
     _lbl_tau = ("CASE " + " ".join(
         f"WHEN tau = {float(_t)!r} THEN '{_t:g}'" for _t in TAU_SWEEP)
         + " END")
+    # diffuse_plan twin constants: the same env-backed budgets
+    # energy.diffuse_plan reads, resolved at oracle-build time (the
+    # driver compares Spark and SQL in ONE process, so both sides see
+    # the same environment).
+    from pyarrowspace_spark.operators import energy as _EN
+
+    _dp_ceil = int(_EN.DIFFUSE_BROADCAST_MAX_BYTES)
+    _dp_msg = 4 if os.environ.get(
+        "SPARK_GRAFT_DIFFUSE_MSG_DTYPE", "float32").lower() in (
+        "float32", "fp32", "f32") else 8
+    _dp_budget = int(os.environ.get(
+        "SPARK_GRAFT_DIFFUSE_CHUNK_MSG_BYTES", str(16 * 1024**3)))
+    _gs_sql = d.pop("graph_sparsity")
     d["build_diagnostics"] = f"""
 SELECT 'graph_sparsity' AS section,
        unnest(['n_items', 'n_edges', 'sparsity']) AS metric,
        unnest([n_items::DOUBLE, n_edges::DOUBLE, sparsity_r]) AS value
-FROM ({d.pop('graph_sparsity')})
+FROM ({_gs_sql})
 UNION ALL
 SELECT 'intrinsic_dim', unnest(['n_used', 'id_mle', 'auto_k']),
        unnest([n_used::DOUBLE, id_mle_r, auto_k::DOUBLE])
@@ -3351,6 +3380,19 @@ SELECT 'auto_params',
        unnest(['n', 'k', 'eps_raw', 'eps', 'k_applied', 'eps_applied']),
        unnest([n::DOUBLE, k::DOUBLE, eps_raw_r, eps_r,
                k::DOUBLE, eps_r])
-FROM ({AUTO_PARAMS_SQL})"""
+FROM ({AUTO_PARAMS_SQL})
+UNION ALL
+SELECT 'diffuse_plan',
+       unnest(['distributed_tier', 'msg_val_bytes', 'feat_chunks']),
+       unnest([
+         CASE WHEN n_items * nf * 8 <= {_dp_ceil} THEN 0.0 ELSE 1.0 END,
+         CASE WHEN n_items * nf * 8 <= {_dp_ceil} THEN 8.0
+              ELSE {_dp_msg}.0 END,
+         CASE WHEN n_items * nf * 8 <= {_dp_ceil} THEN 1.0
+              ELSE greatest(1.0, ceil(
+                   (n_edges * 2 * nf * {_dp_msg})::DOUBLE
+                   / {_dp_budget})) END])
+FROM (SELECT g.*, (SELECT len(embedding) FROM embeddings LIMIT 1) AS nf
+      FROM ({_gs_sql}) g)"""
     d.pop("search_hybrid")
     return d

@@ -32,6 +32,7 @@ from __future__ import annotations
 import math
 import os
 import shutil
+import tempfile
 import time
 
 import numpy as np
@@ -42,9 +43,129 @@ from ..params import GraphParams
 from ..functions import vector as V
 
 # Set by the grouped LSH pair stage on each run: per-group pair-spool
-# bytes and disk free after the group. Instrumentation breadcrumb for
-# measurement harnesses sizing the group budget — not a public API.
+# bytes, disk free after the group, wall time, and (when the Spark UI
+# is reachable) the group's per-stage metrics (wall/task time, spill,
+# shuffle bytes). Instrumentation breadcrumb for measurement harnesses
+# sizing the group budget — not a public API.
 _LAST_LSH_GROUP_INFO: list | None = None
+
+#: Scratch-disk spill multiplier for one band group: the group's
+#: (band,key) shuffle sorts N·gsize vector-carrying rows; measured peak
+#: transient over shuffle-input bytes was ~2.3x at N=800k and ~3.9x at
+#: the N=2M abort (BENCH_800k_r10g.json / BENCH_2000k_r10.json, zstd
+#: codec), so the default budgets the worst observed. Env override:
+#: SPARK_GRAFT_LSH_SPILL_FACTOR.
+LSH_SPILL_FACTOR = 4.0
+#: Free-disk floor the grouped build must never plan into — same 15 GB
+#: margin the measurement watchdog enforces (a spill burst writes
+#: ~200 MB/s across 32 tasks; a thinner floor loses the race). Env
+#: override: SPARK_GRAFT_LSH_MIN_FREE (suffix-aware).
+LSH_MIN_FREE_BYTES = 15 << 30
+#: Measured parquet bytes per emitted candidate pair in a group spool
+#: (zstd long,long,double): 0.144 GB/band at N=800k, k=25 ⇒ ~7.2 B
+#: (BENCH_800k_r10g.json); 7.5 keeps the a-priori estimate on the
+#: conservative side until the loop's own measurements replace it.
+LSH_PAIR_SPOOL_BYTES = 7.5
+#: Oversized-bucket census rows above which the driver collect is
+#: skipped and the census stays a lazy distributed plan (re-run per
+#: band group — the documented degenerate-corpus tradeoff). The bound
+#: on census size is N·bands/LSH_BUCKET_MAX keys; 65536 rows ≈ 1.5 MB
+#: on the driver covers every non-adversarial corpus to ~10^10 rows.
+LSH_CENSUS_COLLECT_MAX = 65536
+
+
+def _scratch_probe_dir(spark) -> str:
+    """Filesystem the grouped build's disk budget must watch: where
+    shuffle/spill actually lands — $SPARK_GRAFT_SCRATCH_DIR, else the
+    session's spark.local.dir (first entry), else the tempdir."""
+    p = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+    if not p:
+        try:
+            p = spark.conf.get("spark.local.dir")
+        except Exception:
+            p = None
+        p = (p or os.environ.get("SPARK_LOCAL_DIRS")
+             or tempfile.gettempdir()).split(",")[0].strip()
+    return p if os.path.isdir(p) else "/"
+
+
+def _dir_bytes(path: str) -> int:
+    """Recursive regular-file byte total (a flat listdir under-counted
+    partitioned/_temporary subtrees — ADVICE r10)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
+
+
+def _completed_stages(spark) -> list[dict]:
+    """Completed-stage records from the Spark UI REST API (empty when
+    the UI is disabled/unreachable — instrumentation only, never
+    load-bearing)."""
+    try:
+        import json as _json
+        import urllib.request
+
+        url = spark.sparkContext.uiWebUrl
+        if not url:
+            return []
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+                f"{url}/api/v1/applications/{app_id}/stages"
+                f"?status=complete", timeout=5) as resp:
+            return _json.load(resp)
+    except Exception:
+        return []
+
+
+def _max_stage_id(spark) -> int:
+    stages = _completed_stages(spark)
+    return max((int(s.get("stageId", -1)) for s in stages), default=-1)
+
+
+def _stages_since(spark, watermark: int) -> list[dict]:
+    """Compact per-stage metrics for stages completed after
+    `watermark` — the data that localizes where a band group's wall
+    time and scratch disk actually go (sort spill vs shuffle write vs
+    parquet output), per the round-10 2M postmortem."""
+    def _ts(s: str) -> float:
+        from datetime import datetime, timezone
+
+        return datetime.strptime(
+            s.replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f"
+        ).replace(tzinfo=timezone.utc).timestamp()
+
+    out = []
+    for st in _completed_stages(spark):
+        sid = int(st.get("stageId", -1))
+        if sid <= watermark:
+            continue
+        try:
+            wall = round(_ts(st["completionTime"])
+                         - _ts(st["submissionTime"]), 2)
+        except Exception:
+            wall = None
+        out.append({
+            "sid": sid,
+            "name": str(st.get("name", ""))[:60],
+            "wall_sec": wall,
+            "task_sec": round(st.get("executorRunTime", 0) / 1e3, 1),
+            "disk_spill_gb": round(
+                st.get("diskBytesSpilled", 0) / 2**30, 3),
+            "mem_spill_gb": round(
+                st.get("memoryBytesSpilled", 0) / 2**30, 3),
+            "shuffle_write_gb": round(
+                st.get("shuffleWriteBytes", 0) / 2**30, 3),
+            "shuffle_read_gb": round(
+                st.get("shuffleReadBytes", 0) / 2**30, 3),
+            "input_gb": round(st.get("inputBytes", 0) / 2**30, 3),
+            "output_gb": round(st.get("outputBytes", 0) / 2**30, 3),
+        })
+    return sorted(out, key=lambda r: r["sid"])
 
 # Above this many items the exact all-pairs join is no longer the plan
 # you'd want on a cluster; switch to LSH candidate generation.
@@ -380,12 +501,20 @@ def _pairwise_candidates_lsh(
     # at exactly the N≥800k scales the grouping targets (ADVICE r9).
     # The result is tiny (only keys with >b_max members; empty on a
     # non-degenerate corpus), the re-hash of the MAIN pass per group
-    # remains the deliberate disk-over-CPU tradeoff.
-    ov_rows = [(int(r["band"]), int(r["key"]), int(r["_cnt"]))
-               for r in sizes.filter(
-                   F.col("_cnt") > F.lit(b_max)).collect()]
-    oversized = items.sparkSession.createDataFrame(
-        ov_rows, schema="band int, key long, _cnt long")
+    # remains the deliberate disk-over-CPU tradeoff. The collect is
+    # capped (ADVICE r10): a mass-duplicate corpus can produce up to
+    # N·bands/b_max oversized keys, so above LSH_CENSUS_COLLECT_MAX
+    # rows the census stays a lazy distributed plan — per-group census
+    # re-runs beat an unbounded driver materialization there.
+    ov_lazy = sizes.filter(F.col("_cnt") > F.lit(b_max))
+    ov_head = ov_lazy.limit(LSH_CENSUS_COLLECT_MAX + 1).collect()
+    if len(ov_head) > LSH_CENSUS_COLLECT_MAX:
+        oversized = ov_lazy
+    else:
+        ov_rows = [(int(r["band"]), int(r["key"]), int(r["_cnt"]))
+                   for r in ov_head]
+        oversized = items.sparkSession.createDataFrame(
+            ov_rows, schema="band int, key long, _cnt long")
 
     # Scratch-disk budget: the bucket stage shuffles N·bands rows each
     # carrying a fdim-float32 unit vector, and the groupBy sort spills
@@ -440,8 +569,6 @@ def _pairwise_candidates_lsh(
     if n_band_groups <= 1:
         bucket_pairs = _group_pairs(hashed)
     else:
-        import tempfile
-
         from ..functions import matrix as matrix_mod
 
         # Group materialization is a PARQUET SPOOL, not localCheckpoint:
@@ -460,42 +587,111 @@ def _pairwise_candidates_lsh(
         spool = matrix_mod.handoff_eligible(spark, 1 << 62)
         scratch_base = os.environ.get("SPARK_GRAFT_SCRATCH_DIR") or None
         parts = []
-        # Per-group scratch accounting (instrumentation breadcrumb, not
-        # a public API): the N=2M stretch run aborted at 78.6 GB peak
-        # because the group budget models only each group's OWN shuffle
-        # input — the accumulated pair spools of finished groups plus
-        # base disk usage aren't in the model (BENCH_2000k_r10.json).
-        # Sizing the fix needs the measured per-group spool bytes this
-        # list records.
+        # Per-group scratch accounting: per-group spool bytes, disk
+        # free, wall time, and (UI reachable) per-stage metrics.
         global _LAST_LSH_GROUP_INFO
         _LAST_LSH_GROUP_INFO = []
-        for g0 in range(0, nb, gsize):
-            g_t0 = time.time()
-            gband = list(range(g0, min(g0 + gsize, nb)))
-            # the band filter sits directly above the hash map stage,
-            # so each group's exchange writes only its bands' rows
-            pairs_g = _group_pairs(
-                hashed.filter(F.col("band").isin(gband)))
-            if spool:
+        if not spool:
+            # No shared scratch (multi-JVM cluster): eager checkpoints
+            # ride aggregate executor memory/disk, which the single
+            # local filesystem probe below can't see — keep the static
+            # env-budgeted group size.
+            for g0 in range(0, nb, gsize):
+                gband = list(range(g0, min(g0 + gsize, nb)))
+                parts.append(_group_pairs(
+                    hashed.filter(F.col("band").isin(gband))
+                ).localCheckpoint(eager=True))
+                spark.sparkContext._jvm.System.gc()
+        else:
+            # ADAPTIVE group sizing against the MEASURED disk. The
+            # round-10 static model sized groups from each group's own
+            # shuffle input only; at N=2M the accumulated pair spools
+            # of finished groups (~1 GB/group measured at 800k) plus
+            # ~30 GB base usage stacked under the live group's sort
+            # spill and the build died at 78.6 GB peak 90 minutes in
+            # (BENCH_2000k_r10.json). Reading the real free space
+            # before EVERY group charges base usage and accumulated
+            # spools automatically; the live group then only needs its
+            # own shuffle·spill + its spool to fit above the floor.
+            # The a-priori spool estimate is replaced by the measured
+            # per-band mean as groups finish, and an up-front
+            # projection REFUSES the build before any job runs when
+            # even the final 1-band group (all spools accumulated)
+            # cannot fit — a clear arithmetic error beats a watchdog
+            # abort 90 minutes in. The env group budget stays a CAP on
+            # group size (tests force tiny budgets to pin the grouped
+            # path; the 313k/800k anchors keep their committed plans
+            # on a healthy disk).
+            probe = _scratch_probe_dir(spark)
+            band_bytes = n_items * (fdim * 4 + 48)
+            est_k = k_i if k_i else 64
+            spool_per_band = n_items * est_k * LSH_PAIR_SPOOL_BYTES
+            spill = float(os.environ.get(
+                "SPARK_GRAFT_LSH_SPILL_FACTOR", str(LSH_SPILL_FACTOR)))
+            floor_b = parse_size_bytes(
+                os.environ.get("SPARK_GRAFT_LSH_MIN_FREE",
+                               str(LSH_MIN_FREE_BYTES)),
+                default=LSH_MIN_FREE_BYTES)
+            free0 = shutil.disk_usage(probe).free
+            need_end = nb * spool_per_band + band_bytes * spill + floor_b
+            if free0 < need_end:
+                raise RuntimeError(
+                    f"LSH grouped build refused up front: scratch "
+                    f"'{probe}' has {free0 / 2**30:.1f} GB free but the "
+                    f"final band group is projected to need "
+                    f"{need_end / 2**30:.1f} GB = {nb} bands x "
+                    f"{spool_per_band / 2**30:.2f} GB pair spool + "
+                    f"{band_bytes / 2**30:.2f} GB/band shuffle x "
+                    f"{spill:.1f} spill + {floor_b / 2**30:.0f} GB "
+                    f"floor. Free disk, lower k, or raise "
+                    f"SPARK_GRAFT_LSH_SPILL_FACTOR/"
+                    f"SPARK_GRAFT_LSH_MIN_FREE consciously.")
+            bands_left = list(range(nb))
+            while bands_left:
+                free = shutil.disk_usage(probe).free
+                per_band_need = band_bytes * spill + spool_per_band
+                max_bands = int((free - floor_b) // max(per_band_need, 1))
+                if max_bands < 1:
+                    done = nb - len(bands_left)
+                    raise RuntimeError(
+                        f"LSH grouped build out of scratch disk after "
+                        f"{done}/{nb} bands: {free / 2**30:.1f} GB free "
+                        f"on '{probe}' < 1-band need "
+                        f"{(per_band_need + floor_b) / 2**30:.1f} GB "
+                        f"(accumulated pair spools "
+                        f"{sum(g['spool_bytes'] for g in _LAST_LSH_GROUP_INFO) / 2**30:.1f}"
+                        f" GB are reclaimed at session exit).")
+                gband = bands_left[:min(gsize, max_bands)]
+                del bands_left[:len(gband)]
+                g_t0 = time.time()
+                sid0 = _max_stage_id(spark)
+                # the band filter sits directly above the hash map
+                # stage, so each group's exchange writes only its
+                # bands' rows
+                pairs_g = _group_pairs(
+                    hashed.filter(F.col("band").isin(gband)))
                 d = tempfile.mkdtemp(prefix="pyarrowspace-lshpairs-",
                                      dir=scratch_base)
                 matrix_mod._SCRATCH_DIRS.append(d)
                 pairs_g.write.mode("overwrite").parquet(d)
                 parts.append(spark.read.parquet(d))
                 try:
-                    spool_bytes = sum(
-                        os.path.getsize(os.path.join(d, fn))
-                        for fn in os.listdir(d))
-                    free_bytes = shutil.disk_usage(d).free
+                    spool_bytes = _dir_bytes(d)
                     _LAST_LSH_GROUP_INFO.append(
                         {"bands": gband, "spool_bytes": int(spool_bytes),
-                         "disk_free_bytes": int(free_bytes),
-                         "sec": round(time.time() - g_t0, 1)})
+                         "disk_free_bytes": int(
+                             shutil.disk_usage(probe).free),
+                         "sec": round(time.time() - g_t0, 1),
+                         "stages": _stages_since(spark, sid0)})
+                    # replace the a-priori spool estimate with the
+                    # measured per-band mean so the remaining groups
+                    # (and the out-of-disk check) use ground truth
+                    meas = [g["spool_bytes"] / max(len(g["bands"]), 1)
+                            for g in _LAST_LSH_GROUP_INFO]
+                    spool_per_band = max(sum(meas) / len(meas), 1.0)
                 except OSError:
                     pass
-            else:
-                parts.append(pairs_g.localCheckpoint(eager=True))
-            spark.sparkContext._jvm.System.gc()
+                spark.sparkContext._jvm.System.gc()
         bucket_pairs = parts[0]
         for p in parts[1:]:
             bucket_pairs = bucket_pairs.unionAll(p)

@@ -59,6 +59,12 @@ WATCHDOG_MIN_FREE_GB = float(os.environ.get("M1M_MIN_FREE_GB", "15"))
 
 _ABORT = threading.Event()
 _PEAK_USED_GB = [0.0]
+# Resettable per-phase peak (ADVICE r10: the per-dtype diffusion
+# 'peak' read the cumulative process peak, so it included the build and
+# every earlier dtype's run — the second dtype's value could never be
+# lower). The main thread resets this cell to the CURRENT usage before
+# a phase; the watchdog then tracks the max within the phase.
+_PHASE_PEAK_GB = [0.0]
 
 
 def _scratch_path(spark) -> str:
@@ -83,6 +89,7 @@ def _watchdog(sc, artifact: str, out: dict, scratch: str) -> None:
     while not _ABORT.is_set():
         u = shutil.disk_usage(scratch)
         _PEAK_USED_GB[0] = max(_PEAK_USED_GB[0], u.used / 1024**3)
+        _PHASE_PEAK_GB[0] = max(_PHASE_PEAK_GB[0], u.used / 1024**3)
         if u.free / 1024**3 < WATCHDOG_MIN_FREE_GB:
             _ABORT.set()
             # write the partial artifact HERE, while the floor still
@@ -252,6 +259,15 @@ def main() -> None:
                 round(g["spool_bytes"] / 1024**3, 3) for g in ginfo]
             out["lsh_group_disk_free_gb"] = [
                 round(g["disk_free_bytes"] / 1024**3, 1) for g in ginfo]
+            out["lsh_group_secs"] = [g.get("sec") for g in ginfo]
+            out["lsh_group_n_bands"] = [
+                len(g.get("bands", [])) for g in ginfo]
+            # r11: per-stage wall/spill/shuffle metrics inside each
+            # group (from the UI REST API) — localizes whether a
+            # group's time/disk goes to the sort spill or the
+            # pair-merge shuffle, the question the 2M postmortem left
+            out["lsh_group_stages"] = [
+                g.get("stages", []) for g in ginfo]
 
         # M1M_DD_ONLY=1: skip the ANN/exact/energy phases (~25 min at
         # N=313k) — the dtype-comparison run only needs the λτ-graph
@@ -287,6 +303,11 @@ def main() -> None:
                 for di, dt in enumerate(dd_dtypes):
                     sfx = "" if di == 0 else f"_{dt}"
                     st: list[float] = []
+                    # reset the per-phase peak to CURRENT usage so this
+                    # dtype's reported peak is its own, not the
+                    # cumulative process max (ADVICE r10)
+                    _PHASE_PEAK_GB[0] = (
+                        shutil.disk_usage(scratch).used / 1024**3)
                     t0 = time.time()
                     energy_mod.diffuse(big, idx.edges, eta=0.05,
                                        steps=dd_steps, step_times=st,
@@ -296,7 +317,7 @@ def main() -> None:
                     out[f"diffuse_dist_step_secs{sfx}"] = st
                     out[f"diffuse_dist_msg_dtype{sfx}"] = dt
                     out[f"diffuse_dist_peak_used_gb{sfx}"] = round(
-                        _PEAK_USED_GB[0], 1)
+                        _PHASE_PEAK_GB[0], 1)
                     info = getattr(energy_mod, "_LAST_DIFFUSE_INFO", None)
                     if info:
                         out[f"diffuse_dist_feat_chunks{sfx}"] = info[
