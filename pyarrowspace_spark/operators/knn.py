@@ -152,6 +152,7 @@ def _stages_since(spark, watermark: int) -> list[dict]:
         out.append({
             "sid": sid,
             "name": str(st.get("name", ""))[:60],
+            "num_tasks": int(st.get("numTasks", 0)),
             "wall_sec": wall,
             "task_sec": round(st.get("executorRunTime", 0) / 1e3, 1),
             "disk_spill_gb": round(
@@ -406,8 +407,21 @@ def _pairwise_candidates_lsh(
                 "uvec": uv * nb,
             })
 
-    hashed = items.select(id_col, feat_col).mapInPandas(
-        hash_bands, schema=hash_schema)
+    # Spread the hash gemm across all cores: a single-file corpus
+    # arrives split only by maxPartitionBytes (a 0.9 GB parquet at
+    # N=313k → 8 scan tasks feeding 32 cores). Measured r11
+    # (BENCH_313k_r11.json per-group stages): the hash+shuffle-write
+    # stage ran 144 s wall at 461 task-seconds — parallelism-starved
+    # ~4x. One narrow N·F corpus repartition fixes every downstream
+    # hash pass (main pass per band group + the census); where it
+    # engages (single-file corpora ≲1M rows) the extra exchange is
+    # seconds against a ~100 s/group saving, and beyond that the scan
+    # already yields ≥ cores splits so this is a no-op.
+    hash_src = items.select(id_col, feat_col)
+    n_cores = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if hash_src.rdd.getNumPartitions() < n_cores:
+        hash_src = hash_src.repartition(n_cores)
+    hashed = hash_src.mapInPandas(hash_bands, schema=hash_schema)
 
     pair_schema = StructType([
         StructField("src", LongType(), False),
@@ -490,8 +504,7 @@ def _pairwise_candidates_lsh(
             })
 
     sizes = (
-        items.select(feat_col).mapInPandas(hash_keys_only,
-                                           schema=count_schema)
+        hash_src.mapInPandas(hash_keys_only, schema=count_schema)
         .groupBy("band", "key").agg(F.count("*").alias("_cnt"))
     )
     # Collect the census ONCE and re-broadcast it as a local frame:
@@ -615,10 +628,11 @@ def _pairwise_candidates_lsh(
             # own shuffle·spill + its spool to fit above the floor.
             # The a-priori spool estimate is replaced by the measured
             # per-band mean as groups finish, and an up-front
-            # projection REFUSES the build before any job runs when
-            # even the final 1-band group (all spools accumulated)
-            # cannot fit — a clear arithmetic error beats a watchdog
-            # abort 90 minutes in. The env group budget stays a CAP on
+            # projection REFUSES the build before any group job runs
+            # (only the cheap census has run by then) when even the
+            # final 1-band group (all spools accumulated) cannot fit —
+            # a clear arithmetic error beats a watchdog abort 90
+            # minutes in. The env group budget stays a CAP on
             # group size (tests force tiny budgets to pin the grouped
             # path; the 313k/800k anchors keep their committed plans
             # on a healthy disk).
