@@ -684,6 +684,27 @@ def _pairwise_candidates_lsh(
                 # bands' rows
                 pairs_g = _group_pairs(
                     hashed.filter(F.col("band").isin(gband)))
+                if k_i:
+                    # Per-src k-cap + dedupe BEFORE spooling: lossless
+                    # for the global top-k (a pair crowded out by k
+                    # closer same-src pairs in its group is outside
+                    # the global top-k a fortiori — the bucket-cap
+                    # argument one level up), and it bounds each
+                    # group's spool at N·k rows regardless of band
+                    # count: measured 800k spools carried the FULL
+                    # N·k·bands pre-dedupe emission (1.01 GB per
+                    # 7-band group = ~7x the capped size), and the
+                    # post-loop dedupe+window then re-shuffled all of
+                    # it — the prime suspect for the r10 2M disk
+                    # abort. Narrow rows; Spark 4's window-group-limit
+                    # keeps the per-group sort partial.
+                    wg = Window.partitionBy("src").orderBy(
+                        F.col("dist").asc(), F.col("dst").asc())
+                    pairs_g = (
+                        pairs_g.groupBy("src", "dst")
+                        .agg(F.min("dist").alias("dist"))
+                        .withColumn("_rn", F.row_number().over(wg))
+                        .filter(F.col("_rn") <= F.lit(k_i)).drop("_rn"))
                 d = tempfile.mkdtemp(prefix="pyarrowspace-lshpairs-",
                                      dir=scratch_base)
                 matrix_mod._SCRATCH_DIRS.append(d)

@@ -268,6 +268,22 @@ def main() -> None:
             # pair-merge shuffle, the question the 2M postmortem left
             out["lsh_group_stages"] = [
                 g.get("stages", []) for g in ginfo]
+        # Whole-app heavy-stage summary: the 800k r11 group data showed
+        # ZERO sort spill inside the group loop, which relocates the
+        # r10 2M disk blowup suspicion to the POST-group dedupe/window/
+        # symmetrize shuffles — capture the top stages by bytes so an
+        # abort (or a success) localizes them too.
+        try:
+            from pyarrowspace_spark.operators.knn import _stages_since
+
+            allst = _stages_since(spark, -1)
+            allst.sort(key=lambda s: -(s["shuffle_write_gb"]
+                                       + s["disk_spill_gb"]))
+            out["top_stages_by_bytes"] = allst[:12]
+            allst.sort(key=lambda s: -(s["wall_sec"] or 0))
+            out["top_stages_by_wall"] = allst[:12]
+        except Exception:
+            pass
 
         # M1M_DD_ONLY=1: skip the ANN/exact/energy phases (~25 min at
         # N=313k) — the dtype-comparison run only needs the λτ-graph
