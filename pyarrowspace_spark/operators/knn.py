@@ -387,25 +387,51 @@ def _pairwise_candidates_lsh(
         StructField("uvec", ArrayType(FloatType(), False), False),
     ])
 
-    def hash_bands(batches):
-        R = b_planes.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.stack(pdf[feat_col].to_numpy()).astype(np.float32)
-            norms = np.linalg.norm(X, axis=1)
-            norms[norms == 0.0] = 1.0
-            U = X / norms[:, None]
-            signs = (U @ R) >= 0.0                      # B × (bands·bits)
-            keys = signs.reshape(len(U), nb, bits).astype(np.int64) @ weights
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            uv = list(U)
-            yield pd.DataFrame({
-                "band": np.repeat(np.arange(nb, dtype=np.int32), len(U)),
-                "key": keys.T.ravel(),
-                "id": np.tile(ids, nb),
-                "uvec": uv * nb,
-            })
+    def make_hash_bands(band_subset=None):
+        """Arrow hash-pass emitter, optionally restricted to a band
+        subset. The grouped build re-hashes the corpus once per band
+        group (the deliberate disk-over-CPU tradeoff); before r11 each
+        group's pass emitted ALL nb bands' rows through the Python→JVM
+        Arrow boundary and filtered JVM-side — at N=2M with ~3-band
+        groups that is ~13x redundant emission per group. Emitting only
+        the group's bands (and slicing the projection matrix to their
+        planes, band-major so keys are bit-identical) cuts each group's
+        hash emission and gemm by nb/group_size; the pair output is
+        unchanged."""
+        bsel = (None if band_subset is None
+                else np.asarray(sorted(band_subset), dtype=np.int32))
+
+        def hash_bands(batches):
+            R = b_planes.value
+            if bsel is None:
+                gbands = np.arange(nb, dtype=np.int32)
+                Rg = R
+            else:
+                gbands = bsel
+                cols = (gbands[:, None].astype(np.int64) * bits
+                        + np.arange(bits, dtype=np.int64)).ravel()
+                Rg = np.ascontiguousarray(R[:, cols])
+            g = len(gbands)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf[feat_col].to_numpy()).astype(np.float32)
+                norms = np.linalg.norm(X, axis=1)
+                norms[norms == 0.0] = 1.0
+                U = X / norms[:, None]
+                signs = (U @ Rg) >= 0.0                 # B × (g·bits)
+                keys = (signs.reshape(len(U), g, bits).astype(np.int64)
+                        @ weights)
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                uv = list(U)
+                yield pd.DataFrame({
+                    "band": np.repeat(gbands, len(U)),
+                    "key": keys.T.ravel(),
+                    "id": np.tile(ids, g),
+                    "uvec": uv * g,
+                })
+
+        return hash_bands
 
     # Spread the hash gemm across all cores: a single-file corpus
     # arrives split only by maxPartitionBytes (a 0.9 GB parquet at
@@ -421,7 +447,7 @@ def _pairwise_candidates_lsh(
     n_cores = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if hash_src.rdd.getNumPartitions() < n_cores:
         hash_src = hash_src.repartition(n_cores)
-    hashed = hash_src.mapInPandas(hash_bands, schema=hash_schema)
+    hashed = hash_src.mapInPandas(make_hash_bands(), schema=hash_schema)
 
     pair_schema = StructType([
         StructField("src", LongType(), False),
@@ -612,7 +638,8 @@ def _pairwise_candidates_lsh(
             for g0 in range(0, nb, gsize):
                 gband = list(range(g0, min(g0 + gsize, nb)))
                 parts.append(_group_pairs(
-                    hashed.filter(F.col("band").isin(gband))
+                    hash_src.mapInPandas(make_hash_bands(gband),
+                                         schema=hash_schema)
                 ).localCheckpoint(eager=True))
                 spark.sparkContext._jvm.System.gc()
         else:
@@ -679,11 +706,13 @@ def _pairwise_candidates_lsh(
                 del bands_left[:len(gband)]
                 g_t0 = time.time()
                 sid0 = _max_stage_id(spark)
-                # the band filter sits directly above the hash map
-                # stage, so each group's exchange writes only its
-                # bands' rows
+                # subset-hash: this group's pass gemms, emits, and
+                # exchanges ONLY its own bands' rows (see
+                # make_hash_bands) — keys bit-identical to the
+                # full-width pass
                 pairs_g = _group_pairs(
-                    hashed.filter(F.col("band").isin(gband)))
+                    hash_src.mapInPandas(make_hash_bands(gband),
+                                         schema=hash_schema))
                 if k_i:
                     # Per-src k-cap + dedupe BEFORE spooling: lossless
                     # for the global top-k (a pair crowded out by k

@@ -198,6 +198,35 @@ def main() -> None:
         _a @ _a
     out["host_gemm_gflops"] = round(
         4 * 2 * 1024**3 / 1e9 / max(time.time() - _t0, 1e-9), 1)
+    # Buffered disk-write probe (r11): the leg-1 r11b run localized its
+    # slowdown to the host's buffered writeback path — the hash stage
+    # wrote its 4.4 GB shuffle at ~20 MB/s while O_DIRECT measured
+    # 276 MB/s and the gemm probe was the fastest ever recorded.
+    # Spark shuffle/spool writes are buffered, so THIS number (not
+    # gemm/memcpy) prices every shuffle-bound stage; artifacts must
+    # carry it for cross-host attribution. 256 MB fdatasync'd write to
+    # the scratch filesystem.
+    try:
+        _blk = b"\0" * (8 << 20)
+        _t0 = time.time()
+        import tempfile as _tf
+        with _tf.NamedTemporaryFile(dir="/tmp", buffering=0) as _fh:
+            for _ in range(32):
+                _fh.write(_blk)
+            os.fdatasync(_fh.fileno())
+        out["host_diskwrite_mbps"] = round(
+            256 / max(time.time() - _t0, 1e-9), 1)
+        del _blk
+    except OSError:
+        out["host_diskwrite_mbps"] = None
+    try:
+        with open("/proc/cpuinfo") as _fh:
+            for _ln in _fh:
+                if _ln.startswith("model name"):
+                    out["host_cpu_model"] = _ln.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
     del _a
 
     spark = get_spark("measure-1m", extra_conf={
