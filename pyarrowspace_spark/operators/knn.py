@@ -151,7 +151,10 @@ def _stages_since(spark, watermark: int) -> list[dict]:
             wall = None
         out.append({
             "sid": sid,
-            "name": str(st.get("name", ""))[:60],
+            # keep the TAIL: Spark stage names end in file:line ("col-
+            # lect at .../lambda_index.py:167") — a head-truncation
+            # dropped exactly the locator the metrics exist to record
+            "name": str(st.get("name", ""))[-72:],
             "num_tasks": int(st.get("numTasks", 0)),
             "wall_sec": wall,
             "task_sec": round(st.get("executorRunTime", 0) / 1e3, 1),

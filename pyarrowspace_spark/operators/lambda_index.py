@@ -68,14 +68,23 @@ def feature_laplacian(
     - N ≤ EXACT_PATH_MAX_ROWS: driver-side BLAS (the exact kNN scan
       already collects X to broadcast it) — same math, ~10× less wall
       time at bench scale.
-    - N ≤ BROADCAST_GATHER_MAX_ROWS: broadcast X once and accumulate
+    - N ≤ BROADCAST_GATHER_MAX_ROWS: ship X once and accumulate
       per-partition partials over the EDGE list only (24 B/row) with
       numpy row-gather + gemm. The join path below would shuffle
       2·E·F doubles (~17 GB at N=78k, k=25) to move vectors to edges;
-      this tier moves 0 vectors and the same F² partials. Each Python
-      worker holds its own copy of the X broadcast, so the stage
-      coalesces to ≤ $SPARK_GRAFT_GATHER_MEM/X_bytes concurrent
-      workers (default budget 32 GiB).
+      this tier moves 0 vectors and the same F² partials. How X ships
+      (r11, after the N=2M OOM kill): where a worker-visible scratch
+      filesystem exists (local master, or $SPARK_GRAFT_SCRATCH_DIR on
+      a cluster), X is spooled ONCE to a scratch .npy and every worker
+      np.load()s it mmap'd — all workers share one page-cache copy
+      (evictable under pressure), no per-worker unpickle transient, no
+      JVM broadcast blocks, and the edge scan keeps full parallelism.
+      Only without shared scratch does the tier fall back to a real
+      broadcast, coalescing the scan to
+      ≤ $SPARK_GRAFT_GATHER_MEM/(3·X_bytes) concurrent workers
+      (default budget 32 GiB; the 3x is measured — at N=2M each
+      worker's RSS peaked at 10-17 GB against a 6.1 GB X: the
+      unpickled value plus the pickle-bytes transient).
     - beyond: fully distributed joins + partial aggregation — no
       broadcast of anything N-sized; communication is #partitions × F²
       doubles. The only tier legal at 100 TB.
@@ -109,16 +118,58 @@ def feature_laplacian(
         return (lf + lf.T) / 2.0
 
     if n <= BROADCAST_GATHER_MAX_ROWS and x_fits:
+        import tempfile
+
         spark = items.sparkSession
         ids_arr, X = collect_id_matrix(items, id_col, feat_col)
         s_ids, order = sorted_index(ids_arr)
-        b_X = spark.sparkContext.broadcast(X)
-        b_idx = spark.sparkContext.broadcast((s_ids, order))
         fdim = n_features
+        # mmap handoff where a worker-visible filesystem exists (same
+        # deployability rule as matrix_to_frame's scratch parquet):
+        # one page-cache copy shared by every worker instead of
+        # per-worker broadcast copies — the N=2M gather OOM-killed the
+        # host with 5 workers at 10-17 GB RSS each over a 6.1 GB X.
+        from ..functions import matrix as matrix_mod
+
+        scratch_env = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+        ship = os.environ.get("SPARK_GRAFT_LF_SHIP", "auto").lower()
+        if ship == "mmap":
+            mmap_ok = True
+        elif ship == "broadcast":
+            mmap_ok = False
+        else:
+            mmap_ok = bool(scratch_env) or (
+                spark.sparkContext.master.startswith("local"))
+        b_X = b_idx = None
+        x_path = None
+        if mmap_ok:
+            d = tempfile.mkdtemp(prefix="pyarrowspace-lfx-",
+                                 dir=scratch_env or None)
+            matrix_mod._SCRATCH_DIRS.append(d)
+            x_path = os.path.join(d, "x.npy")
+            np.save(x_path, X)
+            np.save(os.path.join(d, "sids.npy"), s_ids)
+            np.save(os.path.join(d, "order.npy"), order)
+            # the driver's own copy is dead weight for the rest of the
+            # job (the result is F×F); at N=2M it was 6.1 GB of the
+            # 125 GB the OOM killer arbitrated
+            x_bytes = X.nbytes
+            del X
+        else:
+            b_X = spark.sparkContext.broadcast(X)
+            b_idx = spark.sparkContext.broadcast((s_ids, order))
+            x_bytes = X.nbytes
 
         def edge_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            Xl = b_X.value
-            s_l, ord_l = b_idx.value
+            if x_path is not None:
+                Xl = np.load(x_path, mmap_mode="r")
+                s_l = np.load(os.path.join(
+                    os.path.dirname(x_path), "sids.npy"))
+                ord_l = np.load(os.path.join(
+                    os.path.dirname(x_path), "order.npy"))
+            else:
+                Xl = b_X.value
+                s_l, ord_l = b_idx.value
             acc = np.zeros((fdim, fdim), dtype=np.float64)
             deg_local = np.zeros(len(Xl), dtype=np.float64)
             for pdf in batches:
@@ -134,40 +185,64 @@ def feature_laplacian(
                 np.add.at(deg_local, si, w)
                 np.add.at(deg_local, di, w)
             # Fold this partition's degree mass into the diagonal term
-            # locally: Σ deg_i x_i x_iᵀ over rows this partition touched.
+            # locally: Σ deg_i x_i x_iᵀ over rows this partition
+            # touched — in bounded slices: `Xl[touched]` on a
+            # most-rows-touched partition materializes ~all of X (and
+            # the old expression evaluated it TWICE — a 12 GB/worker
+            # transient at N=2M, a main course of the OOM this tier's
+            # r11 rework exists to fix).
             touched = np.nonzero(deg_local)[0]
-            if touched.size:
-                acc += (Xl[touched] * deg_local[touched, None]).T @ Xl[touched]
+            for t0 in range(0, touched.size, 65536):
+                ti = touched[t0:t0 + 65536]
+                Xt = np.asarray(Xl[ti], dtype=np.float64)
+                acc += (Xt * deg_local[ti, None]).T @ Xt
             yield pd.DataFrame({"partial": acc.ravel()})
 
         schema = StructType([StructField("partial", DoubleType(), False)])
-        # Every Python worker that runs a partition unpickles its OWN
-        # copy of the X broadcast, so this stage's real footprint is
-        # concurrent_workers × X_bytes — 32 × 1.84 GB = 59 GB at
-        # N=600k, F=384, which OOM-killed the 125 GB p_bit host (the
-        # JVM, not the collect, died). Coalesce the edge scan so the
-        # copies stay inside a budget; the per-partition gemm work
-        # just gets bigger, which BLAS prefers anyway.
-        # Suffix-aware parse ("32g" works, like the sibling
-        # SPARK_GRAFT_MAX_RESULT/DRIVER_MEM vars); bare ints are bytes.
-        from ..functions.matrix import parse_size_bytes
-
-        budget = parse_size_bytes(
-            os.environ.get("SPARK_GRAFT_GATHER_MEM", str(32 << 30)),
-            default=32 << 30)
-        max_workers = max(2, int(budget // max(X.nbytes, 1)))
         e_scan = edges.select("src", "dst", "weight")
-        # Bound by the scan's ACTUAL partition count, not
-        # defaultParallelism (a session-start snapshot that dynamic
-        # allocation can outgrow): concurrency can never exceed the
-        # partition count, so this caps worker copies of the X
-        # broadcast under any executor scaling.
-        if e_scan.rdd.getNumPartitions() > max_workers:
-            e_scan = e_scan.coalesce(max_workers)
-        parts = e_scan.mapInPandas(edge_partials, schema=schema).collect()
-        # free the JVM/disk/worker copies eagerly — the tier is done
-        b_X.destroy()
-        b_idx.destroy()
+        if x_path is None:
+            # Broadcast fallback (no worker-visible scratch): every
+            # Python worker unpickles its OWN copy of X, and the real
+            # per-worker footprint is ~3x X_bytes (measured at N=2M:
+            # 10-17 GB RSS per worker over a 6.1 GB X — the unpickled
+            # value plus the pickle-bytes transient), which OOM-killed
+            # the 125 GB host at 5 workers alongside the 51 GB JVM.
+            # Coalesce the edge scan so the copies stay inside a
+            # budget; the per-partition gemm work just gets bigger,
+            # which BLAS prefers anyway. Bound by the scan's ACTUAL
+            # partition count, not defaultParallelism (a session-start
+            # snapshot that dynamic allocation can outgrow).
+            # Suffix-aware parse ("32g" works, like the sibling
+            # SPARK_GRAFT_MAX_RESULT/DRIVER_MEM vars); bare ints are
+            # bytes. The mmap path needs none of this: one page-cache
+            # copy, full scan parallelism.
+            from ..functions.matrix import parse_size_bytes
+
+            budget = parse_size_bytes(
+                os.environ.get("SPARK_GRAFT_GATHER_MEM", str(32 << 30)),
+                default=32 << 30)
+            max_workers = max(2, int(budget // max(3 * x_bytes, 1)))
+            if e_scan.rdd.getNumPartitions() > max_workers:
+                e_scan = e_scan.coalesce(max_workers)
+        try:
+            parts = e_scan.mapInPandas(
+                edge_partials, schema=schema).collect()
+        finally:
+            # free the JVM/disk/worker copies eagerly — the tier is
+            # done. The .npy spool dies HERE, not at session exit
+            # (collect() is eager, so unlike matrix_to_frame's lazy
+            # scans nothing can re-read it; leaving it would stack a
+            # 6 GB corpse per build on the scratch disk).
+            if b_X is not None:
+                b_X.destroy()
+                b_idx.destroy()
+            if x_path is not None:
+                import shutil as _shutil
+
+                d = os.path.dirname(x_path)
+                _shutil.rmtree(d, ignore_errors=True)
+                if d in matrix_mod._SCRATCH_DIRS:
+                    matrix_mod._SCRATCH_DIRS.remove(d)
         flat = np.array([r["partial"] for r in parts], dtype=np.float64)
         lf = flat.reshape(-1, fdim, fdim).sum(axis=0)
         return (lf + lf.T) / 2.0

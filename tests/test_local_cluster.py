@@ -59,11 +59,19 @@ lam_sum = float(idx.items.agg({"lambda": "sum"}).collect()[0][0])
 # broadcast-gather tier, fully distributed join tier.
 exact0 = knn_mod.EXACT_PATH_MAX_ROWS
 knn_mod.EXACT_PATH_MAX_ROWS = 0          # -> gather tier
+# Both X-ship modes of the gather tier (r11): the shared-scratch mmap
+# default AND the real TorrentBroadcast fallback a no-shared-scratch
+# cluster would use.
+os.environ["SPARK_GRAFT_LF_SHIP"] = "mmap"
 lf_gather = lam_mod.feature_laplacian(items, idx.edges, 24)
+os.environ["SPARK_GRAFT_LF_SHIP"] = "broadcast"
+lf_bcast = lam_mod.feature_laplacian(items, idx.edges, 24)
+del os.environ["SPARK_GRAFT_LF_SHIP"]
 lam_mod.BROADCAST_GATHER_MAX_ROWS = 0    # -> distributed join tier
 lf_dist = lam_mod.feature_laplacian(items, idx.edges, 24)
 knn_mod.EXACT_PATH_MAX_ROWS = exact0
 gather_err = float(np.abs(lf_gather - idx.feature_laplacian).max())
+bcast_err = float(np.abs(lf_bcast - idx.feature_laplacian).max())
 dist_err = float(np.abs(lf_dist - idx.feature_laplacian).max())
 
 # Distributed diffusion tier (the 100-TB path) across two executor
@@ -80,6 +88,7 @@ print("RESULT " + json.dumps({
     "tau": idx.tau_synth,
     "lam_sum": lam_sum,
     "gather_err": gather_err,
+    "bcast_err": bcast_err,
     "dist_err": dist_err,
     "d_sum": d_sum,
 }))
@@ -104,8 +113,10 @@ def test_local_cluster_distributed_tiers(spark):
     got = json.loads(lines[-1][len("RESULT "):])
     assert got["master"].startswith("local-cluster")
 
-    # All three Laplacian tiers agreed inside the cluster session
+    # All three Laplacian tiers agreed inside the cluster session —
+    # the gather tier in BOTH its X-ship modes (mmap and broadcast)
     assert got["gather_err"] < 1e-9
+    assert got["bcast_err"] < 1e-9
     assert got["dist_err"] < 1e-9
 
     # Values identical to the same computation on this local[*] session
