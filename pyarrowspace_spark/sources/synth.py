@@ -49,8 +49,13 @@ def ensure_clustered_corpus(
     assign = rng.integers(0, n_clusters, size=n)
 
     # Stream in blocks so even N in the millions never holds more than
-    # one block in memory.
+    # one block in memory. Write to a tmp name and rename at the end:
+    # the existence check above treats the file as complete, and a
+    # killed/crashed generator otherwise leaves a footerless parquet
+    # that poisons every later run (r11: a mid-write SIGKILL at N=1M
+    # cost a relaunch).
     block = 100_000
+    tmp_path = path + ".tmp"
     writer = None
     try:
         for b0 in range(0, n, block):
@@ -64,9 +69,18 @@ def ensure_clustered_corpus(
                 "features": pa.array(list(X), type=pa.list_(pa.float64())),
             })
             if writer is None:
-                writer = pq.ParquetWriter(path, tbl.schema)
+                writer = pq.ParquetWriter(tmp_path, tbl.schema)
             writer.write_table(tbl)
+        if writer is not None:
+            writer.close()
+            writer = None
+            os.replace(tmp_path, path)
     finally:
         if writer is not None:
             writer.close()
+        if os.path.exists(tmp_path):
+            try:
+                os.remove(tmp_path)
+            except OSError:
+                pass
     return path
