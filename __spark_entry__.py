@@ -1318,8 +1318,21 @@ def q_build_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("diffuse_plan", m, float(plan[m]))
          for m in ("distributed_tier", "msg_val_bytes", "feat_chunks")],
         "section string, metric string, value double")
+    # r12: the LSH grouped-build physical plan on THIS corpus shape —
+    # auto bit width / band count and the env-budgeted group count +
+    # projected spool/shuffle bytes (r11 verdict: the group machinery
+    # must be diagnostics-visible, not a module-global breadcrumb).
+    # Pure arithmetic over (N, F, k); the oracle replays the formulas.
+    from pyarrowspace_spark.operators import knn as KNN_MOD
+
+    lp = KNN_MOD.lsh_plan(int(gsrow["n_items"]), int(nf), KNN_K)
+    lpdf = spark.createDataFrame(
+        [("lsh_plan", m, float(lp[m]))
+         for m in ("n_bits", "n_bands", "n_band_groups",
+                   "band_shuffle_bytes", "spool_group_bytes")],
+        "section string, metric string, value double")
     out = gs
-    for part in (idim, sp, mr, es, ts, ap, dp):
+    for part in (idim, sp, mr, es, ts, ap, dp, lpdf):
         out = out.unionAll(part)
     return out
 
@@ -3342,6 +3355,18 @@ FROM stats GROUP BY lang"""
         "float32", "fp32", "f32") else 8
     _dp_budget = int(os.environ.get(
         "SPARK_GRAFT_DIFFUSE_CHUNK_MSG_BYTES", str(16 * 1024**3)))
+    # lsh_plan twin constants (same resolution rule as diffuse_plan's:
+    # env-backed budgets read at oracle-build time, design constants
+    # embedded so the SQL replays knn.lsh_plan exactly)
+    from pyarrowspace_spark.functions.matrix import parse_size_bytes as _psb
+    from pyarrowspace_spark.operators import knn as _KNN
+
+    _lp_budget = _psb(os.environ.get("SPARK_GRAFT_LSH_GROUP_BYTES",
+                                     str(8 << 30)), default=8 << 30)
+    _lp_k = int(KNN_K)
+    _lp_spool_b = float(_KNN.LSH_PAIR_SPOOL_BYTES)
+    _lp_miss = float(_KNN.LSH_MISS_BUDGET)
+    _lp_coll = float(_KNN.LSH_DESIGN_COLLISION)
     _gs_sql = d.pop("graph_sparsity")
     d["build_diagnostics"] = f"""
 SELECT 'graph_sparsity' AS section,
@@ -3393,6 +3418,25 @@ SELECT 'diffuse_plan',
                    (n_edges * 2 * nf * {_dp_msg})::DOUBLE
                    / {_dp_budget})) END])
 FROM (SELECT g.*, (SELECT len(embedding) FROM embeddings LIMIT 1) AS nf
-      FROM ({_gs_sql}) g)"""
+      FROM ({_gs_sql}) g)
+UNION ALL
+SELECT 'lsh_plan',
+       unnest(['n_bits', 'n_bands', 'n_band_groups',
+               'band_shuffle_bytes', 'spool_group_bytes']),
+       unnest([bits, bands,
+               ceil(bands / ceil(bands / least(bands, greatest(1.0,
+                    ceil(n_items * bands * (nf * 4 + 48)
+                         / {_lp_budget}))))),
+               n_items * (nf * 4 + 48),
+               n_items * {_lp_k} * {_lp_spool_b!r}])
+FROM (SELECT *, greatest(16.0, ceil({_lp_miss!r}
+             / -ln(1.0 - pow({_lp_coll!r}, bits)))) AS bands
+      FROM (SELECT n_items::DOUBLE AS n_items, nf::DOUBLE AS nf,
+                   least(20.0, greatest(6.0, round(log2(
+                       greatest(n_items / 256.0, 2.0))))) AS bits
+            FROM (SELECT g.n_items,
+                         (SELECT len(embedding) FROM embeddings
+                          LIMIT 1) AS nf
+                  FROM ({_gs_sql}) g)))"""
     d.pop("search_hybrid")
     return d

@@ -43,6 +43,12 @@ class ArrowSpaceIndex:
     tau_synth: float          # Median-synthesized τ used for stored λ
     n_features: int
     _nitems: int | None = None  # lazily cached count
+    #: Measured record of THIS build's grouped LSH pair stage (group
+    #: count, spool bytes, per-stage metrics — knn.lsh_group_summary),
+    #: None when the build ran exact or single-stage LSH. Session-only
+    #: instrumentation (not persisted by save): the deterministic plan
+    #: twin is the `lsh_plan` build_diagnostics section.
+    lsh_build_info: dict | None = None
 
     @property
     def nitems(self) -> int:
@@ -257,6 +263,10 @@ class ArrowSpaceBuilder:
                                   feat_col=graph_feat,
                                   lsh_bits=lsh_bits,
                                   lsh_bands=lsh_bands).persist()
+        # The grouped LSH pair stage runs EAGERLY inside knn_edges
+        # (its spools are written group by group), so its measured
+        # record is complete here; None when exact/single-stage ran.
+        lsh_info = knn_ops.lsh_group_summary()
         lf = lam_ops.feature_laplacian(graph_input, edges, n_features)
         # ONE Python kernel pass computes the τ-independent (e_raw, g);
         # τ-synthesis and the λ blend are JVM-side over that column.
@@ -306,6 +316,7 @@ class ArrowSpaceBuilder:
             params=params,
             tau_synth=tau_synth,
             n_features=n_features,
+            lsh_build_info=lsh_info,
         )
 
     @staticmethod

@@ -322,6 +322,72 @@ def auto_lsh_bands(n_bits: int) -> int:
     return max(16, int(_m.ceil(LSH_MISS_BUDGET / -_m.log(max(1.0 - p, 1e-12)))))
 
 
+def lsh_plan(n_items: int, fdim: int, k: int,
+             group_budget_bytes: int | None = None) -> dict:
+    """The LSH physical plan the grouped build would run on THIS corpus
+    shape — pure arithmetic over (N, F, k) plus the env-backed group
+    budget, the `diffuse_plan` pattern (r11 verdict: the group/spool
+    machinery's behavior must be diagnostics-visible, not a module
+    global only measurement scripts read). Returns the auto bit width
+    and band count, the env-CAPPED band-group count, and the projected
+    per-group (k-capped) pair-spool and per-band shuffle bytes. The
+    MEASURED per-run record (spool bytes, stage metrics, wall) lives in
+    `lsh_group_summary()`; this is the deterministic twin the DuckDB
+    oracle replays."""
+    from ..functions.matrix import parse_size_bytes
+
+    n_bits = int(min(20, max(6, round(math.log2(max(n_items / 256, 2))))))
+    n_bands = auto_lsh_bands(n_bits)
+    band_bytes = n_items * (fdim * 4 + 48)
+    budget = (group_budget_bytes if group_budget_bytes is not None
+              else parse_size_bytes(
+                  os.environ.get("SPARK_GRAFT_LSH_GROUP_BYTES",
+                                 str(8 << 30)), default=8 << 30))
+    est_bytes = n_items * n_bands * (fdim * 4 + 48)
+    n_groups = int(min(n_bands, max(1, -(-est_bytes // budget))))
+    gsize = -(-n_bands // n_groups)
+    return {
+        "n_bits": n_bits,
+        "n_bands": n_bands,
+        "n_band_groups": -(-n_bands // gsize),
+        "band_shuffle_bytes": band_bytes,
+        "spool_group_bytes": n_items * max(int(k), 1) * LSH_PAIR_SPOOL_BYTES,
+    }
+
+
+def lsh_group_summary() -> dict | None:
+    """Measured record of the MOST RECENT grouped LSH pair stage in
+    this process: group count, total/max pair-spool bytes, total wall
+    seconds, and peak per-stage shuffle-write/spill bytes (when the UI
+    REST API was reachable). None when the last build ran single-stage
+    (ungrouped) or no LSH build has run. Successor to reading the
+    `_LAST_LSH_GROUP_INFO` breadcrumb directly (r11 verdict finding 2);
+    the raw per-group records stay available for measurement harnesses
+    as the ``groups`` key."""
+    info = _LAST_LSH_GROUP_INFO
+    if not info:
+        return None
+    stage_rows = [s for g in info for s in (g.get("stages") or [])]
+
+    def _peak(key: str) -> float:
+        return max((float(s.get(key, 0.0) or 0.0) for s in stage_rows),
+                   default=0.0)
+
+    return {
+        "n_groups": len(info),
+        "bands_total": sum(len(g.get("bands", ())) for g in info),
+        "spool_bytes_total": sum(int(g.get("spool_bytes", 0))
+                                 for g in info),
+        "spool_bytes_max_group": max(int(g.get("spool_bytes", 0))
+                                     for g in info),
+        "wall_sec_total": round(sum(float(g.get("sec", 0.0))
+                                    for g in info), 1),
+        "peak_stage_shuffle_write_gb": _peak("shuffle_write_gb"),
+        "peak_stage_disk_spill_gb": _peak("disk_spill_gb"),
+        "groups": info,
+    }
+
+
 def _pairwise_candidates_lsh(
     items: DataFrame,
     id_col: str,
@@ -669,7 +735,17 @@ def _pairwise_candidates_lsh(
             probe = _scratch_probe_dir(spark)
             band_bytes = n_items * (fdim * 4 + 48)
             est_k = k_i if k_i else 64
-            spool_per_band = n_items * est_k * LSH_PAIR_SPOOL_BYTES
+            # Spool projection UNIT: per GROUP when the per-src k-cap
+            # below runs (the cap bounds a group's spool at N·k rows
+            # REGARDLESS of how many bands the group carries), per band
+            # otherwise (uncapped emission really is ~N·k per band).
+            # r11 projected per band even with the cap active,
+            # overstating end-state spool by ~the mean group size
+            # (~11 GB projected vs ~3.5 GB measured at N=2M) — safe
+            # direction, but the up-front refusal could reject a build
+            # that fits (VERDICT r11 finding 3).
+            spool_unit = n_items * est_k * LSH_PAIR_SPOOL_BYTES
+            n_units_end = -(-nb // gsize) if k_i else nb
             spill = float(os.environ.get(
                 "SPARK_GRAFT_LSH_SPILL_FACTOR", str(LSH_SPILL_FACTOR)))
             floor_b = parse_size_bytes(
@@ -677,14 +753,15 @@ def _pairwise_candidates_lsh(
                                str(LSH_MIN_FREE_BYTES)),
                 default=LSH_MIN_FREE_BYTES)
             free0 = shutil.disk_usage(probe).free
-            need_end = nb * spool_per_band + band_bytes * spill + floor_b
+            need_end = n_units_end * spool_unit + band_bytes * spill + floor_b
             if free0 < need_end:
                 raise RuntimeError(
                     f"LSH grouped build refused up front: scratch "
                     f"'{probe}' has {free0 / 2**30:.1f} GB free but the "
                     f"final band group is projected to need "
-                    f"{need_end / 2**30:.1f} GB = {nb} bands x "
-                    f"{spool_per_band / 2**30:.2f} GB pair spool + "
+                    f"{need_end / 2**30:.1f} GB = {n_units_end} "
+                    f"{'k-capped groups' if k_i else 'bands'} x "
+                    f"{spool_unit / 2**30:.2f} GB pair spool + "
                     f"{band_bytes / 2**30:.2f} GB/band shuffle x "
                     f"{spill:.1f} spill + {floor_b / 2**30:.0f} GB "
                     f"floor. Free disk, lower k, or raise "
@@ -693,8 +770,16 @@ def _pairwise_candidates_lsh(
             bands_left = list(range(nb))
             while bands_left:
                 free = shutil.disk_usage(probe).free
-                per_band_need = band_bytes * spill + spool_per_band
-                max_bands = int((free - floor_b) // max(per_band_need, 1))
+                if k_i:
+                    # the live group's spool is one k-capped unit no
+                    # matter how many bands it takes; only the shuffle
+                    # scales with band count
+                    avail = free - floor_b - spool_unit
+                    max_bands = int(avail // max(band_bytes * spill, 1))
+                    per_band_need = band_bytes * spill + spool_unit
+                else:
+                    per_band_need = band_bytes * spill + spool_unit
+                    max_bands = int((free - floor_b) // max(per_band_need, 1))
                 if max_bands < 1:
                     done = nb - len(bands_left)
                     raise RuntimeError(
@@ -751,11 +836,17 @@ def _pairwise_candidates_lsh(
                          "sec": round(time.time() - g_t0, 1),
                          "stages": _stages_since(spark, sid0)})
                     # replace the a-priori spool estimate with the
-                    # measured per-band mean so the remaining groups
-                    # (and the out-of-disk check) use ground truth
-                    meas = [g["spool_bytes"] / max(len(g["bands"]), 1)
-                            for g in _LAST_LSH_GROUP_INFO]
-                    spool_per_band = max(sum(meas) / len(meas), 1.0)
+                    # measured mean — per GROUP under the k-cap (the
+                    # unit the projection above charges), per band
+                    # otherwise — so the remaining groups (and the
+                    # out-of-disk check) use ground truth
+                    if k_i:
+                        meas = [g["spool_bytes"]
+                                for g in _LAST_LSH_GROUP_INFO]
+                    else:
+                        meas = [g["spool_bytes"] / max(len(g["bands"]), 1)
+                                for g in _LAST_LSH_GROUP_INFO]
+                    spool_unit = max(sum(meas) / len(meas), 1.0)
                 except OSError:
                     pass
                 spark.sparkContext._jvm.System.gc()
@@ -791,6 +882,11 @@ def knn_edges(
     `n_rows`: pass a precomputed count to skip the strategy-switch
     Spark job (an extra eager count per call otherwise).
     """
+    # Clear the grouped-stage record up front: without this an earlier
+    # grouped build's record would leak onto a later exact/ungrouped
+    # build's `lsh_group_summary()` / index attachment.
+    global _LAST_LSH_GROUP_INFO
+    _LAST_LSH_GROUP_INFO = None
     if strategy == "auto":
         n = items.count() if n_rows is None else int(n_rows)
         strategy = "exact" if n <= EXACT_PATH_MAX_ROWS else "lsh"

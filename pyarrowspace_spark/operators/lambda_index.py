@@ -46,6 +46,62 @@ from pyspark.sql.types import DoubleType, StructField, StructType
 # this machine class; beyond it the join path is the only legal plan.
 BROADCAST_GATHER_MAX_ROWS = 2_000_000
 
+# Above this many rows the gather tier ships X as float32 by default
+# (env override SPARK_GRAFT_LF_X_DTYPE = float32|float64|auto): the
+# gather stage is page-in/transfer bound at scale — r11's 313k
+# postmortem measured all 32 tasks blocking together on the shared X
+# mmap, ~30 s of math inside a 148.8 s stage (31% of the flagship
+# build's wall) — and fp32 halves the shipped bytes. Partials still
+# ACCUMULATE in float64 (edge_partials upcasts before every gemm), so
+# the error enters only via fp32 rounding of X itself (~6e-8 relative
+# per entry, the same class as the pinned fp32 diffusion-message
+# bound). Below the threshold exactness is free, so fp64 stays.
+LF_X_F32_MIN_ROWS = 100_000
+
+
+def _probe_worker_visible(spark, scratch_dir: str) -> bool:
+    """True iff executors can read files the driver writes under
+    `scratch_dir` — one tiny marker file verified by one Spark task.
+    Auto ship-mode safety (ADVICE r11): a set $SPARK_GRAFT_SCRATCH_DIR
+    on a remote-executor master may be driver-local spooling space, and
+    trusting it blindly makes auto mode pick an impossible mmap plan
+    (loud FileNotFoundError mid-stage). Cost: one 1-task job, only paid
+    on non-local masters. Any probe failure (unwritable dir, job error)
+    means 'not visible' — the broadcast fallback is always legal."""
+    import tempfile as _tf
+    import uuid as _uuid
+
+    token = _uuid.uuid4().hex
+    try:
+        fd, marker = _tf.mkstemp(prefix="pyarrowspace-visprobe-",
+                                 suffix=".txt", dir=scratch_dir)
+        with os.fdopen(fd, "w") as fh:
+            fh.write(token)
+        os.chmod(marker, 0o644)
+    except OSError:
+        return False
+    try:
+        def _check(it):
+            try:
+                with open(marker) as fh:
+                    ok = fh.read() == token
+            except OSError:
+                ok = False
+            for _ in it:
+                pass
+            yield ok
+
+        got = spark.sparkContext.parallelize([0], 1).mapPartitions(
+            _check).collect()
+        return bool(got and got[0])
+    except Exception:
+        return False
+    finally:
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
+
 
 def feature_laplacian(
     items: DataFrame,
@@ -133,13 +189,32 @@ def feature_laplacian(
 
         scratch_env = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
         ship = os.environ.get("SPARK_GRAFT_LF_SHIP", "auto").lower()
+        master_local = spark.sparkContext.master.startswith("local")
         if ship == "mmap":
             mmap_ok = True
         elif ship == "broadcast":
             mmap_ok = False
+        elif scratch_env and not master_local:
+            # auto + remote executors: a set scratch var is NOT proof
+            # the path is worker-visible (it may exist for driver-side
+            # spooling only — ADVICE r11). Probe with a marker file
+            # read by one task; broadcast is the safe fallback.
+            mmap_ok = _probe_worker_visible(spark, scratch_env)
         else:
-            mmap_ok = bool(scratch_env) or (
-                spark.sparkContext.master.startswith("local"))
+            mmap_ok = bool(scratch_env) or master_local
+        # fp32 X ship at scale (see LF_X_F32_MIN_ROWS): halves the
+        # page-in/broadcast bytes of the gather stage; partials still
+        # accumulate in fp64.
+        x_dtype_env = os.environ.get("SPARK_GRAFT_LF_X_DTYPE",
+                                     "auto").lower()
+        if x_dtype_env in ("float32", "fp32", "f32"):
+            ship_f32 = True
+        elif x_dtype_env in ("float64", "fp64", "f64"):
+            ship_f32 = False
+        else:
+            ship_f32 = n > LF_X_F32_MIN_ROWS
+        if ship_f32:
+            X = X.astype(np.float32, copy=False)
         b_X = b_idx = None
         x_path = None
         if mmap_ok:
@@ -150,6 +225,14 @@ def feature_laplacian(
             np.save(x_path, X)
             np.save(os.path.join(d, "sids.npy"), s_ids)
             np.save(os.path.join(d, "order.npy"), order)
+            # tempfile.mkdtemp creates mode 0700 — unreadable by
+            # executors running as a DIFFERENT user on a genuinely
+            # shared scratch filesystem (ADVICE r11). Group/other
+            # read is safe: the spool only holds the corpus matrix
+            # the executors are already processing.
+            os.chmod(d, 0o755)
+            for fn in os.listdir(d):
+                os.chmod(os.path.join(d, fn), 0o644)
             # the driver's own copy is dead weight for the rest of the
             # job (the result is F×F); at N=2M it was 6.1 GB of the
             # 125 GB the OOM killer arbitrated

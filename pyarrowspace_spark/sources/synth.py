@@ -54,8 +54,17 @@ def ensure_clustered_corpus(
     # killed/crashed generator otherwise leaves a footerless parquet
     # that poisons every later run (r11: a mid-write SIGKILL at N=1M
     # cost a relaunch).
+    # Unique tmp name (ADVICE r11): a deterministic path + '.tmp' lets
+    # two concurrent generators of the same corpus clobber each
+    # other's in-progress file and os.replace a half-written parquet
+    # into place — recreating the poisoned cache this staging exists
+    # to prevent. pid+uuid suffix keeps writers disjoint; the last
+    # completed os.replace wins atomically with identical content
+    # (same seed/shape).
+    import uuid as _uuid
+
     block = 100_000
-    tmp_path = path + ".tmp"
+    tmp_path = f"{path}.tmp.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
     writer = None
     try:
         for b0 in range(0, n, block):

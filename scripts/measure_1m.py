@@ -206,16 +206,23 @@ def main() -> None:
     # gemm/memcpy) prices every shuffle-bound stage; artifacts must
     # carry it for cross-host attribution. 256 MB fdatasync'd write to
     # the scratch filesystem.
+    # Probe the device Spark actually shuffles/spools to (ADVICE r11:
+    # a hardcoded /tmp misattributes stage cost when
+    # $SPARK_GRAFT_SCRATCH_DIR points at a different filesystem).
+    _probe_dir = os.environ.get("SPARK_GRAFT_SCRATCH_DIR") or "/tmp"
+    if not os.path.isdir(_probe_dir):
+        _probe_dir = "/tmp"
     try:
         _blk = b"\0" * (8 << 20)
         _t0 = time.time()
         import tempfile as _tf
-        with _tf.NamedTemporaryFile(dir="/tmp", buffering=0) as _fh:
+        with _tf.NamedTemporaryFile(dir=_probe_dir, buffering=0) as _fh:
             for _ in range(32):
                 _fh.write(_blk)
             os.fdatasync(_fh.fileno())
         out["host_diskwrite_mbps"] = round(
             256 / max(time.time() - _t0, 1e-9), 1)
+        out["host_diskwrite_dir"] = _probe_dir
         del _blk
     except OSError:
         out["host_diskwrite_mbps"] = None
