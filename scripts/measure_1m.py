@@ -113,10 +113,71 @@ def _watchdog(sc, artifact: str, out: dict, scratch: str) -> None:
         time.sleep(3)
 
 
+def _edge_recall_phase(path: str, idx, eps: float, k: int, out: dict,
+                       n_sample: int = 2000, seed: int = 7) -> None:
+    """Sampled symmetric-edge recall of the built LSH graph vs the
+    exact eps/top-k graph — the same estimator bench.py pins at sf0.1
+    (bench.py:_sampled_edge_recall), re-implemented on a FLAT Arrow
+    read so the driver-side matrix is one N×F float64 buffer
+    normalized in place (~6 GB at N=2M) instead of an object-array
+    stack (r11 verdict gap 1: the 0.977 edge-recall contract was
+    measured at 800k/1M only and extended to 2M by the
+    grouped≡ungrouped pin — the flagship scale needs its own number).
+    Driver-side by design: bench instrumentation, not an operator."""
+    import pyarrow.parquet as pq
+
+    t0 = time.time()
+    tbl = pq.read_table(path, columns=["item_id", "features"])
+    ids = tbl["item_id"].to_numpy()
+    nrows = len(ids)
+    X = (tbl["features"].combine_chunks().flatten()
+         .to_numpy(zero_copy_only=False)
+         .astype(np.float64, copy=False).reshape(nrows, -1))
+    del tbl
+    # The Arrow-backed buffer is READ-ONLY (zero-copy view) — so no
+    # in-place normalization of X; fold both norms into each gemm
+    # block instead, which also skips the full-size U copy.
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0.0] = 1.0
+    rng = np.random.default_rng(seed)
+    srows = rng.choice(nrows, size=min(n_sample, nrows), replace=False)
+    exact_pairs: set = set()
+    # 128-row chunks keep the chunk×N distance block ≤ ~2 GB at N=2M
+    for c0 in range(0, len(srows), 128):
+        rows = srows[c0:c0 + 128]
+        cos = (X[rows] / norms[rows, None]) @ X.T
+        cos /= norms[None, :]
+        dist = 1.0 - np.maximum(cos, 0.0)
+        for r, row in enumerate(rows):
+            drow = dist[r]
+            mask = (drow <= eps) & (ids != ids[row])
+            cand = np.nonzero(mask)[0]
+            if cand.size > k:
+                cand = cand[np.lexsort((ids[cand], drow[cand]))[:k]]
+            for c in cand:
+                a, b = int(ids[row]), int(ids[c])
+                exact_pairs.add((min(a, b), max(a, b)))
+    del X
+    sample_ids = [int(ids[r]) for r in srows]
+    hit_rows = idx.edges.filter(
+        F.col("src").isin(sample_ids) | F.col("dst").isin(sample_ids)
+    ).select("src", "dst").collect()
+    lsh_pairs = set((min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+                    for r in hit_rows)
+    out["lsh_edge_recall_sampled"] = round(
+        len(exact_pairs & lsh_pairs) / max(len(exact_pairs), 1), 4)
+    out["edge_recall_n_sample"] = len(sample_ids)
+    out["edge_recall_n_exact_pairs"] = len(exact_pairs)
+    out["edge_recall_sec"] = round(time.time() - t0, 1)
+
+
 def _search_and_energy_phases(spark, big, idx, n: int, out: dict) -> None:
     """ANN recall, exact-vs-ANN 50-query search, and the energy
     pipeline (graph reuse) — the full-anchor phases skipped by
-    M1M_DD_ONLY=1."""
+    M1M_DD_ONLY=1. M1M_SKIP_ENERGY=1 keeps the ANN/exact phases but
+    skips the energy pipeline (at N=2M build_energy's 4-step diffusion
+    is its own multi-thousand-second anchor; the dedicated
+    M1M_DIFFUSE_DIST_STEPS phase times diffusion per step instead)."""
     n_tables = auto_lsh_tables(N_PLANES, target_recall=0.95, n_items=n)
     out["ann_n_tables"] = n_tables
     planes = lsh_hyperplanes(384, n_tables=n_tables, n_planes=N_PLANES)
@@ -153,6 +214,9 @@ def _search_and_energy_phases(spark, big, idx, n: int, out: dict) -> None:
                for q, hits in exact_sets.items()]
     out["ann_recall_at_15"] = round(float(np.mean(recalls)), 4)
     hashed.unpersist()
+
+    if os.environ.get("M1M_SKIP_ENERGY", "0") == "1":
+        return
 
     # energy pipeline, graph reuse (same shape as the 313k anchor)
     from pyarrowspace_spark.operators.energy import (build_energy,
@@ -320,6 +384,11 @@ def main() -> None:
             out["top_stages_by_wall"] = allst[:12]
         except Exception:
             pass
+
+        # M1M_EDGE_RECALL=1: sampled edge recall vs the exact graph,
+        # driver-side, right after the build (same eps/k literals).
+        if os.environ.get("M1M_EDGE_RECALL", "0") == "1":
+            _edge_recall_phase(path, idx, 0.99, 25, out)
 
         # M1M_DD_ONLY=1: skip the ANN/exact/energy phases (~25 min at
         # N=313k) — the dtype-comparison run only needs the λτ-graph
