@@ -202,6 +202,12 @@ def _search_and_energy_phases(spark, big, idx, n: int, out: dict) -> None:
                     k=TOPK).select("query_id", "item_id").collect():
         exact_sets.setdefault(r["query_id"], set()).add(r["item_id"])
     out["exact_search_50q_sec"] = round(time.time() - t0, 1)
+    # Reclaim the exact pass's shuffle files before the ANN pass piles
+    # its own on top (the r12 2M leg tripped the disk watchdog HERE at
+    # 80.2 GB peak: build spools + exact-search shuffles + ANN-search
+    # shuffles stacked uncollected — the same lesson the grouped build
+    # loop already applies per group).
+    spark.sparkContext._jvm.System.gc()
 
     t0 = time.time()
     ann_sets: dict[int, set] = {}
