@@ -240,6 +240,61 @@ def _search_and_energy_phases(spark, big, idx, n: int, out: dict) -> None:
     out["energy_search_50q_sec"] = round(time.time() - t0, 1)
 
 
+def _run_dd_phase(spark, big, idx, out: dict, scratch: str) -> None:
+    """Distributed-diffusion scale anchor (r8/r9 verdict task: the
+    beyond-broadcast tier — the only tier legal at 100× scale — had
+    never been timed past N=313k because the driver tier keeps winning
+    eligibility). M1M_DIFFUSE_DIST_STEPS>0 forces the distributed tier
+    on the λτ-graph for that many instrumented steps (eager per-step
+    materialization + shuffle GC, so peak scratch ≈ 1 step regardless
+    of count). Shared by the build path and the M1M_EDGES_PATH
+    (saved-graph) path."""
+    dd_steps = int(os.environ.get("M1M_DIFFUSE_DIST_STEPS", "0"))
+    if dd_steps <= 0:
+        return
+    from pyarrowspace_spark.operators import energy as energy_mod
+
+    dd_dtype = os.environ.get(
+        "SPARK_GRAFT_DIFFUSE_MSG_DTYPE", "float32")
+    # M1M_DIFFUSE_DIST_DTYPES="float32,float64" runs the
+    # instrumented steps once per dtype in the SAME process on
+    # the same graph — the apples-to-apples evidence for the
+    # fp32 message-volume cut (r9 verdict task #3). The first
+    # dtype keeps the unsuffixed field names for ledger
+    # continuity; later ones get _<dtype> suffixes.
+    dd_dtypes = [s.strip() for s in os.environ.get(
+        "M1M_DIFFUSE_DIST_DTYPES", dd_dtype).split(",") if s.strip()]
+    ceil0 = energy_mod.DIFFUSE_BROADCAST_MAX_BYTES
+    energy_mod.DIFFUSE_BROADCAST_MAX_BYTES = 0
+    try:
+        for di, dt in enumerate(dd_dtypes):
+            sfx = "" if di == 0 else f"_{dt}"
+            st: list[float] = []
+            # reset the per-phase peak to CURRENT usage so this
+            # dtype's reported peak is its own, not the
+            # cumulative process max (ADVICE r10)
+            _PHASE_PEAK_GB[0] = (
+                shutil.disk_usage(scratch).used / 1024**3)
+            t0 = time.time()
+            energy_mod.diffuse(big, idx.edges, eta=0.05,
+                               steps=dd_steps, step_times=st,
+                               msg_dtype=dt).count()
+            out[f"diffuse_dist_total_sec{sfx}"] = round(
+                time.time() - t0, 1)
+            out[f"diffuse_dist_step_secs{sfx}"] = st
+            out[f"diffuse_dist_msg_dtype{sfx}"] = dt
+            out[f"diffuse_dist_peak_used_gb{sfx}"] = round(
+                _PHASE_PEAK_GB[0], 1)
+            info = getattr(energy_mod, "_LAST_DIFFUSE_INFO", None)
+            if info:
+                out[f"diffuse_dist_feat_chunks{sfx}"] = info[
+                    "feat_chunks"]
+                out[f"diffuse_dist_n_sym_edges{sfx}"] = info[
+                    "n_sym_edges"]
+    finally:
+        energy_mod.DIFFUSE_BROADCAST_MAX_BYTES = ceil0
+
+
 def main() -> None:
     n = int(os.environ.get("M1M_N", "1000000"))
     out: dict[str, object] = {
@@ -347,7 +402,29 @@ def main() -> None:
             pass
         print(line, flush=True)
 
+    # M1M_EDGES_PATH: reuse a previously SAVED λτ-graph instead of
+    # rebuilding (the r12 2M leg spent ~92 min rebuilding a graph an
+    # earlier leg had already built and thrown away before its
+    # diffusion phase could run). Build-dependent phases (ANN/exact/
+    # energy, group metrics) are skipped — the edge list plus the
+    # corpus is exactly what the edge-recall and diffusion phases
+    # need. M1M_SAVE_EDGES: persist this build's edges for such a leg.
+    edges_path = os.environ.get("M1M_EDGES_PATH")
+    save_edges = os.environ.get("M1M_SAVE_EDGES")
     try:
+        if edges_path:
+            class _EdgesOnly:
+                pass
+
+            idx = _EdgesOnly()
+            idx.edges = spark.read.parquet(edges_path).persist()
+            out["edges_loaded_from"] = edges_path
+            out["n_edges_loaded"] = idx.edges.count()
+            if os.environ.get("M1M_EDGE_RECALL", "0") == "1":
+                _edge_recall_phase(path, idx, 0.99, 25, out)
+            _run_dd_phase(spark, big, idx, out, scratch)
+            finish(partial=bool(_ABORT.is_set()))
+            return
         t0 = time.time()
         idx = ArrowSpaceBuilder.build(
             big, {"eps": 0.99, "k": 25, "topk": 15, "p": 2.0},
@@ -355,6 +432,11 @@ def main() -> None:
         idx.items.count(), idx.edges.count()
         out["build_sec"] = round(time.time() - t0, 1)
         out["build_items_per_sec"] = round(n / (time.time() - t0), 1)
+        if save_edges:
+            t0 = time.time()
+            idx.edges.write.mode("overwrite").parquet(save_edges)
+            out["edges_saved_to"] = save_edges
+            out["edges_save_sec"] = round(time.time() - t0, 1)
         # per-band-group pair-spool sizes + disk free (r10: the data
         # needed to fix the group budget that under-split at N=2M)
         from pyarrowspace_spark.operators import knn as knn_mod
@@ -403,56 +485,7 @@ def main() -> None:
         if not dd_only:
             _search_and_energy_phases(spark, big, idx, n, out)
 
-        # Distributed-diffusion scale anchor (r8/r9 verdict task: the
-        # beyond-broadcast tier — the only tier legal at 100× scale —
-        # had never been timed past N=313k because the driver tier
-        # keeps winning eligibility). M1M_DIFFUSE_DIST_STEPS>0 forces
-        # the distributed tier on the already-built λτ-graph for that
-        # many instrumented steps (eager per-step materialization +
-        # shuffle GC, so peak scratch ≈ 1 step regardless of count).
-        dd_steps = int(os.environ.get("M1M_DIFFUSE_DIST_STEPS", "0"))
-        if dd_steps > 0:
-            from pyarrowspace_spark.operators import energy as energy_mod
-
-            dd_dtype = os.environ.get(
-                "SPARK_GRAFT_DIFFUSE_MSG_DTYPE", "float32")
-            # M1M_DIFFUSE_DIST_DTYPES="float32,float64" runs the
-            # instrumented steps once per dtype in the SAME process on
-            # the same graph — the apples-to-apples evidence for the
-            # fp32 message-volume cut (r9 verdict task #3). The first
-            # dtype keeps the unsuffixed field names for ledger
-            # continuity; later ones get _<dtype> suffixes.
-            dd_dtypes = [s.strip() for s in os.environ.get(
-                "M1M_DIFFUSE_DIST_DTYPES", dd_dtype).split(",") if s.strip()]
-            ceil0 = energy_mod.DIFFUSE_BROADCAST_MAX_BYTES
-            energy_mod.DIFFUSE_BROADCAST_MAX_BYTES = 0
-            try:
-                for di, dt in enumerate(dd_dtypes):
-                    sfx = "" if di == 0 else f"_{dt}"
-                    st: list[float] = []
-                    # reset the per-phase peak to CURRENT usage so this
-                    # dtype's reported peak is its own, not the
-                    # cumulative process max (ADVICE r10)
-                    _PHASE_PEAK_GB[0] = (
-                        shutil.disk_usage(scratch).used / 1024**3)
-                    t0 = time.time()
-                    energy_mod.diffuse(big, idx.edges, eta=0.05,
-                                       steps=dd_steps, step_times=st,
-                                       msg_dtype=dt).count()
-                    out[f"diffuse_dist_total_sec{sfx}"] = round(
-                        time.time() - t0, 1)
-                    out[f"diffuse_dist_step_secs{sfx}"] = st
-                    out[f"diffuse_dist_msg_dtype{sfx}"] = dt
-                    out[f"diffuse_dist_peak_used_gb{sfx}"] = round(
-                        _PHASE_PEAK_GB[0], 1)
-                    info = getattr(energy_mod, "_LAST_DIFFUSE_INFO", None)
-                    if info:
-                        out[f"diffuse_dist_feat_chunks{sfx}"] = info[
-                            "feat_chunks"]
-                        out[f"diffuse_dist_n_sym_edges{sfx}"] = info[
-                            "n_sym_edges"]
-            finally:
-                energy_mod.DIFFUSE_BROADCAST_MAX_BYTES = ceil0
+        _run_dd_phase(spark, big, idx, out, scratch)
     except Exception as e:
         out["error"] = f"{type(e).__name__}: {e}"[:500]
         finish(partial=True)
