@@ -92,9 +92,41 @@ def _sampled_edge_recall(parquet_path: str, lsh_edges, eps: float, k: int,
     return round(len(exact_pairs & lsh_pairs) / max(len(exact_pairs), 1), 4)
 
 
+def _dedicated_scratch(extra: dict) -> str:
+    """Dedicated Spark scratch (r12: the driver bench died to a
+    blockmgr temp_shuffle file VANISHING mid-write under /tmp —
+    the fingerprint of a tmp reaper or a full scratch, not code).
+    $SPARK_GRAFT_SCRATCH_DIR wins; else <repo>/.sparkscratch —
+    outside any tmp-cleaner's jurisdiction. Stale corpses from
+    crashed runs are reclaimed up front, and the free-space check
+    runs BEFORE the suite so a doomed run says so in its artifact
+    instead of dying 40 minutes in."""
+    import shutil as _sh
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    scratch = (os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+               or os.path.join(repo, ".sparkscratch"))
+    os.makedirs(scratch, exist_ok=True)
+    for entry in os.listdir(scratch):
+        if entry.startswith(("blockmgr-", "spark-", "pyarrowspace-")):
+            _sh.rmtree(os.path.join(scratch, entry), ignore_errors=True)
+    free_gb = _sh.disk_usage(scratch).free / 1024**3
+    extra["scratch_dir"] = scratch
+    extra["scratch_free_start_gb"] = round(free_gb, 1)
+    if free_gb < 40:
+        print(f"[bench] WARNING: scratch '{scratch}' has only "
+              f"{free_gb:.1f} GB free — the sf0.1 suite peaks near "
+              f"30 GB of shuffle/spill; consider freeing disk",
+              file=sys.stderr)
+    return scratch
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    timings: dict[str, float] = {}
+    extra: dict[str, object] = {}
+    scratch = _dedicated_scratch(extra)
     # Worker-side BLAS pinning rides spark.executorEnv.* — applied to
     # every Python worker at spawn (works in local mode too: the env
     # overrides ship with each python function). The driver-process
@@ -105,14 +137,13 @@ def main() -> None:
         # bound before they are CPU bound (the first r8 run DIED on
         # "no space left on device" in the diffusion timing).
         "spark.io.compression.codec": "zstd",
+        "spark.local.dir": scratch,
         **{f"spark.executorEnv.{v}": _WORKER_BLAS
            for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
                      "MKL_NUM_THREADS")},
     })
     entry_mod._ship_package(spark)
 
-    timings: dict[str, float] = {}
-    extra: dict[str, object] = {}
     extra["blas_threads_driver"] = int(_DRIVER_BLAS)
     extra["blas_threads_worker"] = int(_WORKER_BLAS)
     # Host-load self-description: cross-round bench comparisons were
@@ -152,6 +183,24 @@ def main() -> None:
     extra["host_gemm_gflops"] = round(
         4 * 2 * 1024**3 / 1e9 / max(time.time() - _t0, 1e-9), 1)
     del _a
+    # Buffered disk-write probe (parity with measure_1m.py: Spark
+    # shuffle/spool writes are buffered, so THIS number — not
+    # gemm/memcpy — prices every shuffle-bound query; r13 adds it here
+    # so the probe-normalized report covers the sf0.1 suite too).
+    try:
+        import tempfile as _tf
+
+        _blk = b"\0" * (8 << 20)
+        _t0 = time.time()
+        with _tf.NamedTemporaryFile(dir=scratch, buffering=0) as _fh:
+            for _ in range(32):
+                _fh.write(_blk)
+            os.fdatasync(_fh.fileno())
+        extra["host_diskwrite_mbps"] = round(
+            256 / max(time.time() - _t0, 1e-9), 1)
+        del _blk
+    except OSError:
+        extra["host_diskwrite_mbps"] = None
 
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_result.json")

@@ -267,7 +267,18 @@ class ArrowSpaceBuilder:
         # (its spools are written group by group), so its measured
         # record is complete here; None when exact/single-stage ran.
         lsh_info = knn_ops.lsh_group_summary()
-        lf = lam_ops.feature_laplacian(graph_input, edges, n_features)
+        # λ-gather fast path: when the graph ran on the UNTRANSFORMED
+        # input (no normalise/sample/projection) and that input is a
+        # trivial parquet scan, hand the source files to the gather
+        # tier so it streams its mmap spool from the corpus parquet
+        # instead of paying a full Spark collect (r13; values
+        # identical — the scan is proven a pure column projection).
+        x_src = None
+        if (not params.normalise and graph_input is base
+                and graph_feat == "features"):
+            x_src = lam_ops.parquet_scan_source(items, id_col, feat_col)
+        lf = lam_ops.feature_laplacian(graph_input, edges, n_features,
+                                       x_source=x_src)
         # ONE Python kernel pass computes the τ-independent (e_raw, g);
         # τ-synthesis and the λ blend are JVM-side over that column.
         comp = lam_ops.with_energy_components(base, lf).persist()

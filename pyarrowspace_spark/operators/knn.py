@@ -34,6 +34,7 @@ import os
 import shutil
 import tempfile
 import time
+import warnings
 
 import numpy as np
 from pyspark.sql import DataFrame, Window
@@ -767,6 +768,26 @@ def _pairwise_candidates_lsh(
                     f"floor. Free disk, lower k, or raise "
                     f"SPARK_GRAFT_LSH_SPILL_FACTOR/"
                     f"SPARK_GRAFT_LSH_MIN_FREE consciously.")
+            # Residual mid-loop risk the up-front check can't cover
+            # (ADVICE r12): under disk pressure the adaptive loop can
+            # fragment into up to nb 1-band groups — each spooling up
+            # to N·k rows — and each group's pre-dedupe shuffle is
+            # priced by the band_bytes·spill heuristic only. A build
+            # accepted here can therefore still stop mid-loop with a
+            # clean RuntimeError (never a corrupt result); warn when
+            # even the worst-case fragmentation would not fit, so the
+            # operator can free disk BEFORE the 90-minute job, not
+            # after its 60th group.
+            worst_end = nb * spool_unit + band_bytes * spill + floor_b
+            if k_i and free0 < worst_end:
+                warnings.warn(
+                    f"LSH grouped build accepted at the expected "
+                    f"{-(-nb // gsize)}-group plan, but worst-case "
+                    f"fragmentation ({nb} 1-band groups under disk "
+                    f"pressure) projects {worst_end / 2**30:.1f} GB "
+                    f"vs {free0 / 2**30:.1f} GB free — the build may "
+                    f"stop mid-loop with a clean RuntimeError if the "
+                    f"disk tightens.", UserWarning, stacklevel=2)
             bands_left = list(range(nb))
             while bands_left:
                 free = shutil.disk_usage(probe).free

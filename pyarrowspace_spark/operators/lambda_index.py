@@ -32,6 +32,8 @@ Arrow-batched vectorized map. No N×N materialization anywhere.
 from __future__ import annotations
 
 import os
+import re
+import warnings
 from typing import Iterator
 
 import numpy as np
@@ -58,26 +60,49 @@ BROADCAST_GATHER_MAX_ROWS = 2_000_000
 # bound). Below the threshold exactness is free, so fp64 stays.
 LF_X_F32_MIN_ROWS = 100_000
 
+# one-time-per-process flag for the fp32 auto-ship warning (ADVICE r12:
+# the analogous fp32 diffusion-message default fires a UserWarning on
+# first engagement; auto fp32 X shipping shifts stored L_F/λ ~1e-7 when
+# a growing corpus crosses LF_X_F32_MIN_ROWS and deserves the same
+# visibility)
+_WARNED_F32_AUTO = [False]
+
+# Spool permissions (ADVICE r12: 0o755/0o644 made the spooled corpus
+# matrix world-readable on a shared scratch filesystem). Default is
+# group-readable only; genuinely cross-user deployments where executors
+# run under a different primary group opt into other-read explicitly.
+def _spool_modes() -> tuple[int, int]:
+    if os.environ.get("SPARK_GRAFT_SCRATCH_WORLD_READABLE", "0") == "1":
+        return 0o755, 0o644
+    return 0o750, 0o640
+
 
 def _probe_worker_visible(spark, scratch_dir: str) -> bool:
     """True iff executors can read files the driver writes under
-    `scratch_dir` — one tiny marker file verified by one Spark task.
+    `scratch_dir` — a tiny marker file verified by Spark tasks.
     Auto ship-mode safety (ADVICE r11): a set $SPARK_GRAFT_SCRATCH_DIR
     on a remote-executor master may be driver-local spooling space, and
     trusting it blindly makes auto mode pick an impossible mmap plan
-    (loud FileNotFoundError mid-stage). Cost: one 1-task job, only paid
-    on non-local masters. Any probe failure (unwritable dir, job error)
-    means 'not visible' — the broadcast fallback is always legal."""
+    (loud FileNotFoundError mid-stage). The probe runs one task per
+    defaultParallelism slot and requires ALL to see the marker (ADVICE
+    r12: a single task can land on the one executor that mounts the
+    path). Best-effort, not a guarantee: task placement is the
+    scheduler's, so a heterogeneous cluster can still pass the probe
+    and fail mid-stage — that residual risk is why the broadcast
+    fallback stays selectable via SPARK_GRAFT_LF_SHIP=broadcast. Any
+    probe failure (unwritable dir, job error, any False) means 'not
+    visible' — the broadcast fallback is always legal."""
     import tempfile as _tf
     import uuid as _uuid
 
+    _, fmode = _spool_modes()
     token = _uuid.uuid4().hex
     try:
         fd, marker = _tf.mkstemp(prefix="pyarrowspace-visprobe-",
                                  suffix=".txt", dir=scratch_dir)
         with os.fdopen(fd, "w") as fh:
             fh.write(token)
-        os.chmod(marker, 0o644)
+        os.chmod(marker, fmode)
     except OSError:
         return False
     try:
@@ -91,9 +116,11 @@ def _probe_worker_visible(spark, scratch_dir: str) -> bool:
                 pass
             yield ok
 
-        got = spark.sparkContext.parallelize([0], 1).mapPartitions(
+        sc = spark.sparkContext
+        n_slots = max(2, int(sc.defaultParallelism))
+        got = sc.parallelize(range(n_slots), n_slots).mapPartitions(
             _check).collect()
-        return bool(got and got[0])
+        return bool(got) and all(got)
     except Exception:
         return False
     finally:
@@ -103,12 +130,133 @@ def _probe_worker_visible(spark, scratch_dir: str) -> bool:
             pass
 
 
+_PLAN_ENTRY_RX = re.compile(
+    r"^(\w+)#\d+\w*(?:\s+AS\s+(\w+)#\d+\w*)?$")
+
+
+def parquet_scan_source(df: DataFrame, id_col: str,
+                        feat_col: str) -> dict | None:
+    """When `df` is a TRIVIAL local-parquet scan — pure column
+    projection (plain attribute references / renames only, no
+    expressions, filters, joins, or samples) over one parquet relation
+    — return {"files": [...], "id_col": <source name>,
+    "feat_col": <source name>}; else None.
+
+    Used by the λ gather tier to build its mmap spool by STREAMING the
+    already-written corpus parquet on the driver instead of a full
+    Spark collect (r12 verdict: the collect pays one JVM serialization
+    pass over all N rows plus a ~3× driver-memory transient that the
+    chunked pyarrow read never allocates). Conservative by
+    construction: any plan node or projection entry the whitelist
+    can't PROVE is a plain rename returns None and the caller falls
+    back to the collect path — wrong-data risk zero, lost-optimization
+    risk only."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        files = [re.sub(r"^file:/*", "/", f) if f.startswith("file:")
+                 else f for f in df.inputFiles()]
+    except Exception:
+        return None
+    files = [f for f in files if f]
+    if not files or not all(os.path.isfile(f) for f in files):
+        return None
+    src_of: dict[str, str] = {}
+    n_projects = n_relations = 0
+    for raw in plan.splitlines():
+        line = raw.strip().lstrip(":+- ").strip()
+        if not line:
+            continue
+        if line.startswith("Project ["):
+            n_projects += 1
+            body = line[len("Project ["):]
+            if not body.endswith("]"):
+                return None
+            for entry in body[:-1].split(", "):
+                m = _PLAN_ENTRY_RX.match(entry.strip())
+                if m is None:
+                    return None  # any expression/paren → not trivial
+                src, out = m.group(1), m.group(2) or m.group(1)
+                src_of[out] = src
+        elif line.startswith("Relation"):
+            n_relations += 1
+            if " parquet" not in line:
+                return None
+        else:
+            return None
+    # exactly one relation, at most ONE Project: with a single Project
+    # the out→src mapping is direct (rename chains across stacked
+    # Projects would need composition — Catalyst collapses adjacent
+    # Projects, so requiring one loses nothing and risks nothing)
+    if n_relations != 1 or n_projects > 1:
+        return None
+    return {"files": files, "id_col": src_of.get(id_col, id_col),
+            "feat_col": src_of.get(feat_col, feat_col)}
+
+
+def _stream_spool_from_parquet(x_source: dict, n: int, fdim: int,
+                               dtype, x_path: str):
+    """Write the gather spool `x_path` (.npy, id-SORTED row order) by
+    streaming the corpus parquet files chunk-by-chunk — driver peak
+    memory is one record batch instead of the collect path's full
+    N×F matrix plus its serialization transient. Returns
+    (sorted_ids, order=arange) on success, None on ANY mismatch
+    (row count, ragged vectors, duplicate ids, missing columns) — the
+    caller falls back to the collect path.
+
+    Sorted storage order is load-bearing for the gather stage: the
+    edge scan is sorted by src within partitions, so `X[si]` walks the
+    mmap monotonically instead of random-paging it (r12 verdict
+    finding 1: the λ gather was 33% of the flagship build and
+    page-in-bound)."""
+    import pyarrow.parquet as pq
+
+    idc, fc = x_source["id_col"], x_source["feat_col"]
+    try:
+        ids_parts = []
+        for f in x_source["files"]:
+            ids_parts.append(
+                pq.read_table(f, columns=[idc])[idc]
+                .to_numpy(zero_copy_only=False))
+        ids_arr = np.concatenate(ids_parts).astype(np.int64, copy=False)
+        if len(ids_arr) != n:
+            return None
+        s_ids = np.sort(ids_arr)
+        if s_ids.size > 1 and np.any(s_ids[1:] == s_ids[:-1]):
+            return None  # duplicate ids → scatter would corrupt rows
+        X = np.lib.format.open_memmap(
+            x_path, mode="w+", dtype=dtype, shape=(n, fdim))
+        total = 0
+        for f in x_source["files"]:
+            pf = pq.ParquetFile(f)
+            for batch in pf.iter_batches(batch_size=16384,
+                                         columns=[idc, fc]):
+                bids = (batch.column(batch.schema.get_field_index(idc))
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64, copy=False))
+                fcol = batch.column(batch.schema.get_field_index(fc))
+                vals = fcol.flatten().to_numpy(zero_copy_only=False)
+                if vals.size != len(bids) * fdim:
+                    return None  # ragged vectors
+                pos = np.searchsorted(s_ids, bids)
+                X[pos] = vals.reshape(len(bids), fdim).astype(
+                    dtype, copy=False)
+                total += len(bids)
+        if total != n:
+            return None
+        X.flush()
+        del X
+        return s_ids, np.arange(n, dtype=np.int64)
+    except Exception:
+        return None
+
+
 def feature_laplacian(
     items: DataFrame,
     edges: DataFrame,
     n_features: int,
     id_col: str = "item_id",
     feat_col: str = "features",
+    x_source: dict | None = None,
 ) -> np.ndarray:
     """Compute L_F = Xᵀ (D - W) X distributedly.
 
@@ -177,8 +325,6 @@ def feature_laplacian(
         import tempfile
 
         spark = items.sparkSession
-        ids_arr, X = collect_id_matrix(items, id_col, feat_col)
-        s_ids, order = sorted_index(ids_arr)
         fdim = n_features
         # mmap handoff where a worker-visible filesystem exists (same
         # deployability rule as matrix_to_frame's scratch parquet):
@@ -213,8 +359,19 @@ def feature_laplacian(
             ship_f32 = False
         else:
             ship_f32 = n > LF_X_F32_MIN_ROWS
-        if ship_f32:
-            X = X.astype(np.float32, copy=False)
+            if ship_f32 and not _WARNED_F32_AUTO[0]:
+                # one-time visibility when AUTO crosses the row
+                # threshold (ADVICE r12: matches the fp32
+                # diffusion-message default's documented policy) —
+                # stored L_F/λ shift ~1e-7 relative vs an fp64 ship
+                _WARNED_F32_AUTO[0] = True
+                warnings.warn(
+                    f"feature_laplacian: n={n} > {LF_X_F32_MIN_ROWS} — "
+                    f"auto-shipping X as float32 for the gather stage "
+                    f"(L_F/λ shift ≲1e-7 relative; pin "
+                    f"SPARK_GRAFT_LF_X_DTYPE=float64 to opt out)",
+                    UserWarning, stacklevel=2)
+        x_dtype = np.float32 if ship_f32 else np.float64
         b_X = b_idx = None
         x_path = None
         if mmap_ok:
@@ -222,23 +379,56 @@ def feature_laplacian(
                                  dir=scratch_env or None)
             matrix_mod._SCRATCH_DIRS.append(d)
             x_path = os.path.join(d, "x.npy")
-            np.save(x_path, X)
+            # Spool source: stream the corpus parquet directly when the
+            # builder proved the items plan is a trivial scan (skips
+            # the Spark collect's full-N JVM serialization pass and its
+            # ~3× driver transient); else collect. Both store X in
+            # id-SORTED row order so the sorted edge scan's gathers
+            # walk the mmap monotonically. SPARK_GRAFT_LF_X_SOURCE=
+            # collect forces the old path (A/B lever).
+            src_mode = os.environ.get("SPARK_GRAFT_LF_X_SOURCE",
+                                      "auto").lower()
+            s_ids = order = None
+            if x_source and src_mode != "collect":
+                res = _stream_spool_from_parquet(
+                    x_source, n, fdim, x_dtype, x_path)
+                if res is not None:
+                    s_ids, order = res
+                else:
+                    try:
+                        os.remove(x_path)
+                    except OSError:
+                        pass
+            if s_ids is None:
+                ids_arr, X = collect_id_matrix(items, id_col, feat_col)
+                perm = np.argsort(ids_arr, kind="stable")
+                s_ids = ids_arr[perm]
+                order = np.arange(n, dtype=np.int64)
+                np.save(x_path, X[perm].astype(x_dtype, copy=False))
+                # the driver's own copy is dead weight for the rest of
+                # the job (the result is F×F); at N=2M it was 6.1 GB of
+                # the 125 GB the OOM killer arbitrated
+                del X
             np.save(os.path.join(d, "sids.npy"), s_ids)
             np.save(os.path.join(d, "order.npy"), order)
             # tempfile.mkdtemp creates mode 0700 — unreadable by
             # executors running as a DIFFERENT user on a genuinely
-            # shared scratch filesystem (ADVICE r11). Group/other
-            # read is safe: the spool only holds the corpus matrix
-            # the executors are already processing.
-            os.chmod(d, 0o755)
+            # shared scratch filesystem (ADVICE r11). Group-read by
+            # default; other-read only behind the explicit
+            # SPARK_GRAFT_SCRATCH_WORLD_READABLE opt-in (ADVICE r12:
+            # the spool holds corpus embeddings — don't expose them to
+            # every local user on a shared filesystem).
+            dmode, fmode = _spool_modes()
+            os.chmod(d, dmode)
             for fn in os.listdir(d):
-                os.chmod(os.path.join(d, fn), 0o644)
-            # the driver's own copy is dead weight for the rest of the
-            # job (the result is F×F); at N=2M it was 6.1 GB of the
-            # 125 GB the OOM killer arbitrated
-            x_bytes = X.nbytes
-            del X
+                os.chmod(os.path.join(d, fn), fmode)
+            x_bytes = n * fdim * x_dtype().itemsize
         else:
+            ids_arr, X = collect_id_matrix(items, id_col, feat_col)
+            perm = np.argsort(ids_arr, kind="stable")
+            s_ids = ids_arr[perm]
+            order = np.arange(n, dtype=np.int64)
+            X = X[perm].astype(x_dtype, copy=False)
             b_X = spark.sparkContext.broadcast(X)
             b_idx = spark.sparkContext.broadcast((s_ids, order))
             x_bytes = X.nbytes
@@ -283,6 +473,15 @@ def feature_laplacian(
 
         schema = StructType([StructField("partial", DoubleType(), False)])
         e_scan = edges.select("src", "dst", "weight")
+        # Sort each edge partition by src before the gather: X is
+        # stored id-sorted, so sorted src batches make the X[si]
+        # gather walk the spool monotonically (sequential page-ins /
+        # cache lines) instead of random-paging it — the gather stage
+        # was 33% of the r12 flagship build and page-in-bound. A local
+        # sort only (no exchange); changes partial summation order, so
+        # L_F moves ~1 ulp — within every pinned tolerance.
+        if os.environ.get("SPARK_GRAFT_LF_GATHER_SORT", "1") != "0":
+            e_scan = e_scan.sortWithinPartitions("src")
         if x_path is None:
             # Broadcast fallback (no worker-visible scratch): every
             # Python worker unpickles its OWN copy of X, and the real

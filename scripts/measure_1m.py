@@ -51,6 +51,10 @@ from pyarrowspace_spark.session import get_spark
 from pyarrowspace_spark.sources.synth import ensure_clustered_corpus
 
 N_PLANES, N_QUERIES, TOPK, TAU = 10, 50, 15, 0.62
+# one source of truth for the anchor build params — the saved-edges
+# sidecar (ADVICE r12: a graph saved under different params silently
+# yielded a wrong recall artifact) records + asserts these at reload
+BUILD_PARAMS = {"eps": 0.99, "k": 25, "topk": 15, "p": 2.0}
 # 15 GB floor, 3 s polls: the first 1M attempt measured the LSH build
 # spilling 43 GB in under 4 minutes (~200 MB/s across 32 tasks) — a
 # 6 GB floor on 10 s polls left less than one poll of margin, the disk
@@ -113,8 +117,157 @@ def _watchdog(sc, artifact: str, out: dict, scratch: str) -> None:
         time.sleep(3)
 
 
+def _edge_recall_phase_spark(spark, big, path: str, idx, eps: float,
+                             k: int, out: dict, n_sample: int = 2000,
+                             seed: int = 7, sfx: str = "") -> None:
+    """Distributed twin of `_edge_recall_phase` (r12 verdict finding 3:
+    the driver-side estimator cost 4,209 s at N=2M — longer than some
+    legs — single-threaded-ish gemm on the degraded host). Broadcasts
+    the ~2000 sampled query vectors (6 MB) and scans the corpus with
+    mapInPandas, each partition keeping a per-sample partial top-(k+16)
+    so the collect is partitions × n_sample × (k+16) narrow rows, never
+    N-sized. The driver then applies the EXACT selection rule of the
+    driver estimator (eps mask, then k smallest by (dist, id)) to the
+    merged candidates — identical values up to float tie-breaks, at
+    32-way parallelism. Margin 16 over k absorbs cross-partition ties
+    at the kth distance."""
+    import pyarrow.parquet as pq
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                                   StructField, StructType)
+
+    t0 = time.time()
+    ids = (pq.read_table(path, columns=["item_id"])["item_id"]
+           .to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
+    nrows = len(ids)
+    rng = np.random.default_rng(seed)
+    srows = rng.choice(nrows, size=min(n_sample, nrows), replace=False)
+    sample_ids = ids[srows]
+    qrows = big.filter(
+        F.col("item_id").isin([int(v) for v in sample_ids])
+    ).select("item_id", "features").collect()
+    qid_to_row = {int(r["item_id"]): np.asarray(r["features"],
+                                                dtype=np.float64)
+                  for r in qrows}
+    Q = np.stack([qid_to_row[int(v)] for v in sample_ids])
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0.0] = 1.0
+    Qn = Q / qn[:, None]
+    nq = len(sample_ids)
+    kk = k + 16
+    b_q = spark.sparkContext.broadcast((Qn, sample_ids))
+
+    schema = StructType([
+        StructField("qi", IntegerType(), False),
+        StructField("dist", DoubleType(), False),
+        StructField("cid", LongType(), False),
+    ])
+
+    def part_topk(batches):
+        Qn_l, sids_l = b_q.value
+        nq_l = len(sids_l)
+        acc_d = np.full((nq_l, 0), np.inf)
+        acc_i = np.full((nq_l, 0), -1, dtype=np.int64)
+
+        def compact(d, i, keep):
+            if d.shape[1] <= keep:
+                return d, i
+            sel = np.argpartition(d, keep - 1, axis=1)[:, :keep]
+            return (np.take_along_axis(d, sel, axis=1),
+                    np.take_along_axis(i, sel, axis=1))
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bids = pdf["item_id"].to_numpy(dtype=np.int64)
+            Xb = np.stack(pdf["features"].to_numpy()).astype(np.float64)
+            bn = np.linalg.norm(Xb, axis=1)
+            bn[bn == 0.0] = 1.0
+            dist = 1.0 - np.maximum(Qn_l @ (Xb / bn[:, None]).T, 0.0)
+            # self-exclusion: a sampled row must not count itself
+            hit = np.nonzero(np.isin(bids, sids_l))[0]
+            for col in hit:
+                dist[np.nonzero(sids_l == bids[col])[0], col] = np.inf
+            kb = min(kk, dist.shape[1])
+            sel = np.argpartition(dist, kb - 1, axis=1)[:, :kb]
+            acc_d = np.concatenate(
+                [acc_d, np.take_along_axis(dist, sel, axis=1)], axis=1)
+            acc_i = np.concatenate([acc_i, bids[sel]], axis=1)
+            if acc_d.shape[1] > 4 * kk:
+                acc_d, acc_i = compact(acc_d, acc_i, kk)
+        acc_d, acc_i = compact(acc_d, acc_i, kk)
+        m = acc_d.shape[1]
+        if m:
+            yield pd.DataFrame({
+                "qi": np.repeat(np.arange(nq_l, dtype=np.int32), m),
+                "dist": acc_d.ravel(),
+                "cid": acc_i.ravel(),
+            })
+
+    rows = (big.select("item_id", "features")
+            .mapInPandas(part_topk, schema=schema)
+            .filter(F.col("dist") <= float(eps)).collect())
+    b_q.destroy()
+    cand: dict[int, list] = {}
+    for r in rows:
+        cand.setdefault(r["qi"], []).append((r["dist"], r["cid"]))
+    exact_pairs: set = set()
+    for qi in range(nq):
+        cl = cand.get(qi, [])
+        if not cl:
+            continue
+        d = np.array([c[0] for c in cl])
+        ci = np.array([c[1] for c in cl], dtype=np.int64)
+        keep = np.lexsort((ci, d))[:k] if len(cl) > k else np.arange(len(cl))
+        a = int(sample_ids[qi])
+        for c in ci[keep]:
+            exact_pairs.add((min(a, int(c)), max(a, int(c))))
+    sid_list = [int(v) for v in sample_ids]
+    hit_rows = idx.edges.filter(
+        F.col("src").isin(sid_list) | F.col("dst").isin(sid_list)
+    ).select("src", "dst").collect()
+    lsh_pairs = set((min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+                    for r in hit_rows)
+    out[f"lsh_edge_recall_sampled{sfx}"] = round(
+        len(exact_pairs & lsh_pairs) / max(len(exact_pairs), 1), 4)
+    out[f"edge_recall_n_sample{sfx}"] = nq
+    out[f"edge_recall_n_exact_pairs{sfx}"] = len(exact_pairs)
+    out[f"edge_recall_sec{sfx}"] = round(time.time() - t0, 1)
+    out[f"edge_recall_seed{sfx}"] = seed
+    out["edge_recall_mode"] = "spark"
+
+
+def _run_edge_recall(spark, big, path: str, idx, out: dict) -> None:
+    """Edge-recall dispatcher: M1M_RECALL_MODE=spark (default, the
+    distributed estimator) | driver (the legacy single-process one —
+    kept as the parity baseline); M1M_RECALL_SEEDS="7,1013" runs the
+    estimator once per seed on the SAME graph (r12 verdict task 7: the
+    800k margin was 0.004 above the ≥0.95 contract on one sample —
+    a second seed tells noise from an N-dependent dip). First seed
+    keeps the unsuffixed field names for ledger continuity."""
+    if os.environ.get("M1M_EDGE_RECALL", "0") != "1":
+        return
+    eps, k = BUILD_PARAMS["eps"], BUILD_PARAMS["k"]
+    seeds = [int(s) for s in os.environ.get(
+        "M1M_RECALL_SEEDS", "7").split(",") if s.strip()]
+    mode = os.environ.get("M1M_RECALL_MODE", "spark")
+    for i, sd in enumerate(seeds):
+        sfx = "" if i == 0 else f"_s{sd}"
+        if _ABORT.is_set():
+            return
+        if mode == "driver":
+            _edge_recall_phase(path, idx, eps, k, out, seed=sd, sfx=sfx)
+        else:
+            _edge_recall_phase_spark(spark, big, path, idx, eps, k,
+                                     out, seed=sd, sfx=sfx)
+        # reclaim this pass's shuffle files before the next sub-phase
+        # stacks its own (the r12 2M lesson)
+        spark.sparkContext._jvm.System.gc()
+
+
 def _edge_recall_phase(path: str, idx, eps: float, k: int, out: dict,
-                       n_sample: int = 2000, seed: int = 7) -> None:
+                       n_sample: int = 2000, seed: int = 7,
+                       sfx: str = "") -> None:
     """Sampled symmetric-edge recall of the built LSH graph vs the
     exact eps/top-k graph — the same estimator bench.py pins at sf0.1
     (bench.py:_sampled_edge_recall), re-implemented on a FLAT Arrow
@@ -164,11 +317,13 @@ def _edge_recall_phase(path: str, idx, eps: float, k: int, out: dict,
     ).select("src", "dst").collect()
     lsh_pairs = set((min(r["src"], r["dst"]), max(r["src"], r["dst"]))
                     for r in hit_rows)
-    out["lsh_edge_recall_sampled"] = round(
+    out[f"lsh_edge_recall_sampled{sfx}"] = round(
         len(exact_pairs & lsh_pairs) / max(len(exact_pairs), 1), 4)
-    out["edge_recall_n_sample"] = len(sample_ids)
-    out["edge_recall_n_exact_pairs"] = len(exact_pairs)
-    out["edge_recall_sec"] = round(time.time() - t0, 1)
+    out[f"edge_recall_n_sample{sfx}"] = len(sample_ids)
+    out[f"edge_recall_n_exact_pairs{sfx}"] = len(exact_pairs)
+    out[f"edge_recall_sec{sfx}"] = round(time.time() - t0, 1)
+    out[f"edge_recall_seed{sfx}"] = seed
+    out["edge_recall_mode"] = "driver"
 
 
 def _search_and_energy_phases(spark, big, idx, n: int, out: dict) -> None:
@@ -361,8 +516,21 @@ def main() -> None:
         pass
     del _a
 
+    # Dedicated Spark scratch (r12: the driver bench died to a blockmgr
+    # temp_shuffle file vanishing under /tmp mid-write — a tmp reaper
+    # or full scratch; same default as bench.py). Stale corpses from
+    # crashed runs are reclaimed before the leg starts.
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spark_scratch = (os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+                     or os.path.join(repo_dir, ".sparkscratch"))
+    os.makedirs(spark_scratch, exist_ok=True)
+    for entry in os.listdir(spark_scratch):
+        if entry.startswith(("blockmgr-", "spark-", "pyarrowspace-")):
+            shutil.rmtree(os.path.join(spark_scratch, entry),
+                          ignore_errors=True)
     spark = get_spark("measure-1m", extra_conf={
         "spark.io.compression.codec": "zstd",
+        "spark.local.dir": spark_scratch,
         **{f"spark.executorEnv.{v}": _WORKER_BLAS
            for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
                      "MKL_NUM_THREADS")},
@@ -416,25 +584,49 @@ def main() -> None:
             class _EdgesOnly:
                 pass
 
+            # Params sidecar (ADVICE r12): the recall/diffusion phases
+            # below assume the saved graph was built with BUILD_PARAMS
+            # at this N — a graph saved under different params would
+            # silently yield a wrong artifact. Assert when the sidecar
+            # exists; record the assumption honestly when it doesn't
+            # (edge lists saved before r13 carry no sidecar).
+            sidecar_p = edges_path.rstrip("/") + ".params.json"
+            if os.path.exists(sidecar_p):
+                with open(sidecar_p) as fh:
+                    saved_params = json.load(fh)
+                out["edges_params"] = saved_params
+                mismatch = {
+                    kk: (saved_params.get(kk), vv)
+                    for kk, vv in dict(BUILD_PARAMS, n=n).items()
+                    if saved_params.get(kk) != vv}
+                if mismatch:
+                    raise RuntimeError(
+                        f"saved edges at {edges_path} were built with "
+                        f"{mismatch} (saved, expected) — refusing to "
+                        f"produce a mislabeled artifact")
+            else:
+                out["edges_params_assumed"] = dict(BUILD_PARAMS, n=n)
             idx = _EdgesOnly()
             idx.edges = spark.read.parquet(edges_path).persist()
             out["edges_loaded_from"] = edges_path
             out["n_edges_loaded"] = idx.edges.count()
-            if os.environ.get("M1M_EDGE_RECALL", "0") == "1":
-                _edge_recall_phase(path, idx, 0.99, 25, out)
+            _run_edge_recall(spark, big, path, idx, out)
             _run_dd_phase(spark, big, idx, out, scratch)
             finish(partial=bool(_ABORT.is_set()))
             return
         t0 = time.time()
-        idx = ArrowSpaceBuilder.build(
-            big, {"eps": 0.99, "k": 25, "topk": 15, "p": 2.0},
-            strategy="lsh")
+        idx = ArrowSpaceBuilder.build(big, dict(BUILD_PARAMS),
+                                      strategy="lsh")
         idx.items.count(), idx.edges.count()
         out["build_sec"] = round(time.time() - t0, 1)
         out["build_items_per_sec"] = round(n / (time.time() - t0), 1)
         if save_edges:
             t0 = time.time()
             idx.edges.write.mode("overwrite").parquet(save_edges)
+            with open(save_edges.rstrip("/") + ".params.json",
+                      "w") as fh:
+                json.dump(dict(BUILD_PARAMS, n=n, strategy="lsh",
+                               corpus_path=path), fh)
             out["edges_saved_to"] = save_edges
             out["edges_save_sec"] = round(time.time() - t0, 1)
         # per-band-group pair-spool sizes + disk free (r10: the data
@@ -474,9 +666,9 @@ def main() -> None:
             pass
 
         # M1M_EDGE_RECALL=1: sampled edge recall vs the exact graph,
-        # driver-side, right after the build (same eps/k literals).
-        if os.environ.get("M1M_EDGE_RECALL", "0") == "1":
-            _edge_recall_phase(path, idx, 0.99, 25, out)
+        # right after the build (same eps/k as BUILD_PARAMS).
+        spark.sparkContext._jvm.System.gc()
+        _run_edge_recall(spark, big, path, idx, out)
 
         # M1M_DD_ONLY=1: skip the ANN/exact/energy phases (~25 min at
         # N=313k) — the dtype-comparison run only needs the λτ-graph
