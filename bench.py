@@ -93,23 +93,23 @@ def _sampled_edge_recall(parquet_path: str, lsh_edges, eps: float, k: int,
 
 
 def _dedicated_scratch(extra: dict) -> str:
-    """Dedicated Spark scratch (r12: the driver bench died to a
-    blockmgr temp_shuffle file VANISHING mid-write under /tmp —
-    the fingerprint of a tmp reaper or a full scratch, not code).
-    $SPARK_GRAFT_SCRATCH_DIR wins; else <repo>/.sparkscratch —
-    outside any tmp-cleaner's jurisdiction. Stale corpses from
-    crashed runs are reclaimed up front, and the free-space check
-    runs BEFORE the suite so a doomed run says so in its artifact
-    instead of dying 40 minutes in."""
+    """Dedicated per-PROCESS Spark scratch (r12: the driver bench died
+    to a blockmgr temp_shuffle file VANISHING mid-write under /tmp —
+    root-caused in r13 to a CONCURRENT measurement chain's bulk
+    `rm blockmgr-*` cleanup; reproduced deliberately). The root is
+    $SPARK_GRAFT_SCRATCH_DIR, else <repo>/.sparkscratch; each process
+    runs in its own pid-named subdir (session.scratch_run_dir), so no
+    cleanup can touch a live run. The free-space check runs BEFORE
+    the suite so a doomed run says so in its artifact instead of
+    dying 40 minutes in."""
     import shutil as _sh
 
+    from pyarrowspace_spark.session import scratch_run_dir
+
     repo = os.path.dirname(os.path.abspath(__file__))
-    scratch = (os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
-               or os.path.join(repo, ".sparkscratch"))
-    os.makedirs(scratch, exist_ok=True)
-    for entry in os.listdir(scratch):
-        if entry.startswith(("blockmgr-", "spark-", "pyarrowspace-")):
-            _sh.rmtree(os.path.join(scratch, entry), ignore_errors=True)
+    root = (os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+            or os.path.join(repo, ".sparkscratch"))
+    scratch = scratch_run_dir(root)
     free_gb = _sh.disk_usage(scratch).free / 1024**3
     extra["scratch_dir"] = scratch
     extra["scratch_free_start_gb"] = round(free_gb, 1)

@@ -178,8 +178,19 @@ class ArrowSpaceBuilder:
         lsh_bands: int | None = None,
         dims_reduction: bool = False,
         dims_k: int | None = None,
+        edges: DataFrame | None = None,
     ) -> ArrowSpaceIndex:
-        """`sample_rate` mirrors the reference's inline sampler
+        """`edges` reuses an already-built λτ-graph (e.g. a saved
+        `ArrowSpaceIndex.edges` parquet) instead of running the kNN
+        stage — the standard-build twin of `build_energy(edges=...)`'s
+        one-graph-two-indexes contract. The λ/L_F/τ stages run as
+        usual against the given graph; the caller is responsible for
+        the edge list matching `graph_params` and the item set (a
+        mismatched graph yields a well-formed index over the wrong
+        topology — assert provenance where it matters, as
+        scripts/measure_1m.py's params sidecar does).
+
+        `sample_rate` mirrors the reference's inline sampler
         ("Simple random sampler with keep rate 60.0%", log
         tests/output/1760705545_v0_16/suggested_eps.md:6, builder hook
         with_inline_sampling src/lib.rs:284): the GRAPH stages run on a
@@ -224,6 +235,15 @@ class ArrowSpaceBuilder:
             raise ValueError("items must be a non-empty DataFrame of non-empty vectors")
         n_features = int(first["n"])
 
+        # λ-gather fast path provenance — resolved BEFORE base.persist():
+        # caching substitutes InMemoryRelation into the SOURCE df's
+        # optimized plan via plan-fragment matching, which the trivial-
+        # scan whitelist (correctly) rejects; checked here the plan is
+        # still the bare parquet scan. Only handed to the gather tier
+        # below if the graph ran on the untransformed input.
+        x_src = None
+        if not params.normalise:
+            x_src = lam_ops.parquet_scan_source(items, id_col, feat_col)
         base = items.select(
             F.col(id_col).alias("item_id"), F.col(feat_col).alias("features")
         )
@@ -259,24 +279,26 @@ class ArrowSpaceBuilder:
                     f"build: dims_reduction on — graph stage at k={k_red} "
                     f"of F={n_features}")
 
-        edges = knn_ops.knn_edges(graph_input, params, strategy=strategy,
-                                  feat_col=graph_feat,
-                                  lsh_bits=lsh_bits,
-                                  lsh_bands=lsh_bands).persist()
-        # The grouped LSH pair stage runs EAGERLY inside knn_edges
-        # (its spools are written group by group), so its measured
-        # record is complete here; None when exact/single-stage ran.
-        lsh_info = knn_ops.lsh_group_summary()
-        # λ-gather fast path: when the graph ran on the UNTRANSFORMED
-        # input (no normalise/sample/projection) and that input is a
-        # trivial parquet scan, hand the source files to the gather
-        # tier so it streams its mmap spool from the corpus parquet
-        # instead of paying a full Spark collect (r13; values
-        # identical — the scan is proven a pure column projection).
-        x_src = None
-        if (not params.normalise and graph_input is base
-                and graph_feat == "features"):
-            x_src = lam_ops.parquet_scan_source(items, id_col, feat_col)
+        if edges is not None:
+            edges = edges.persist()
+            lsh_info = None
+        else:
+            edges = knn_ops.knn_edges(graph_input, params,
+                                      strategy=strategy,
+                                      feat_col=graph_feat,
+                                      lsh_bits=lsh_bits,
+                                      lsh_bands=lsh_bands).persist()
+            # The grouped LSH pair stage runs EAGERLY inside knn_edges
+            # (its spools are written group by group), so its measured
+            # record is complete here; None when exact/single-stage
+            # ran.
+            lsh_info = knn_ops.lsh_group_summary()
+        # λ-gather fast path: stream the gather spool from the corpus
+        # parquet only when the graph ran on the UNTRANSFORMED input
+        # (no sample/projection; normalise already gated x_src above)
+        # — values identical, the scan is a proven pure projection.
+        if not (graph_input is base and graph_feat == "features"):
+            x_src = None
         lf = lam_ops.feature_laplacian(graph_input, edges, n_features,
                                        x_source=x_src)
         # ONE Python kernel pass computes the τ-independent (e_raw, g);

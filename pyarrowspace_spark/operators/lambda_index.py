@@ -60,6 +60,15 @@ BROADCAST_GATHER_MAX_ROWS = 2_000_000
 # bound). Below the threshold exactness is free, so fp64 stays.
 LF_X_F32_MIN_ROWS = 100_000
 
+# Which spool producer the LAST gather-tier run actually used
+# ("scan" = streamed from the corpus parquet, "collect" = Spark
+# collect, "broadcast" = no worker-visible scratch): instrumentation
+# so A/B artifacts record the path that RAN, not the one requested —
+# the scan path falls back silently by design (r13: a cache-
+# substituted plan made it fall back invisibly and the first A/B
+# measured collect against collect).
+_LAST_GATHER_SPOOL = [None]
+
 # one-time-per-process flag for the fp32 auto-ship warning (ADVICE r12:
 # the analogous fp32 diffusion-message default fires a UserWarning on
 # first engagement; auto fp32 X shipping shifts stored L_F/λ ~1e-7 when
@@ -394,12 +403,14 @@ def feature_laplacian(
                     x_source, n, fdim, x_dtype, x_path)
                 if res is not None:
                     s_ids, order = res
+                    _LAST_GATHER_SPOOL[0] = "scan"
                 else:
                     try:
                         os.remove(x_path)
                     except OSError:
                         pass
             if s_ids is None:
+                _LAST_GATHER_SPOOL[0] = "collect"
                 ids_arr, X = collect_id_matrix(items, id_col, feat_col)
                 perm = np.argsort(ids_arr, kind="stable")
                 s_ids = ids_arr[perm]
@@ -424,6 +435,7 @@ def feature_laplacian(
                 os.chmod(os.path.join(d, fn), fmode)
             x_bytes = n * fdim * x_dtype().itemsize
         else:
+            _LAST_GATHER_SPOOL[0] = "broadcast"
             ids_arr, X = collect_id_matrix(items, id_col, feat_col)
             perm = np.argsort(ids_arr, kind="stable")
             s_ids = ids_arr[perm]

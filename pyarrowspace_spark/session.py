@@ -34,6 +34,44 @@ def debug_print(msg: str) -> None:
         print(f"[pyarrowspace-spark] {msg}", file=sys.stderr)
 
 
+def scratch_run_dir(root: str) -> str:
+    """Per-PROCESS Spark scratch subdirectory under `root`, with
+    pid-scoped reaping of dead runs' leftovers.
+
+    Why not one shared dir: concurrent Spark processes sharing a
+    scratch root must never clean each other's live files — a bulk
+    `rm blockmgr-*` from one process while another runs kills the
+    victim with `FileNotFoundException` on a temp_shuffle file
+    mid-write (this exact fingerprint took down a full bench suite;
+    reproduced deliberately before this fix). Each process therefore
+    gets `root/run-<pid>`, removes it on exit, and on startup reaps
+    only `run-<pid>` dirs whose pid is no longer alive plus
+    `pyarrowspace-*` spool corpses older than 6 h (live spools are
+    self-cleaned eagerly by their owners)."""
+    import atexit
+    import re
+    import shutil
+    import time
+
+    os.makedirs(root, exist_ok=True)
+    now = time.time()
+    for entry in os.listdir(root):
+        p = os.path.join(root, entry)
+        m = re.match(r"run-(\d+)$", entry)
+        if m and not os.path.exists(f"/proc/{m.group(1)}"):
+            shutil.rmtree(p, ignore_errors=True)
+        elif entry.startswith("pyarrowspace-"):
+            try:
+                if now - os.path.getmtime(p) > 6 * 3600:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    d = os.path.join(root, f"run-{os.getpid()}")
+    os.makedirs(d, exist_ok=True)
+    atexit.register(lambda: shutil.rmtree(d, ignore_errors=True))
+    return d
+
+
 def get_spark(
     app_name: str = "pyarrowspace-spark",
     master: str | None = None,

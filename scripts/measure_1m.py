@@ -516,18 +516,17 @@ def main() -> None:
         pass
     del _a
 
-    # Dedicated Spark scratch (r12: the driver bench died to a blockmgr
-    # temp_shuffle file vanishing under /tmp mid-write — a tmp reaper
-    # or full scratch; same default as bench.py). Stale corpses from
-    # crashed runs are reclaimed before the leg starts.
+    # Dedicated per-PROCESS Spark scratch (r12: the driver bench died
+    # to a blockmgr temp_shuffle file vanishing under /tmp mid-write —
+    # root-caused in r13 to a concurrent chain's bulk `rm blockmgr-*`;
+    # pid-named subdirs make cross-process cleanup impossible, and
+    # dead runs' leftovers are reaped by liveness, not pattern).
+    from pyarrowspace_spark.session import scratch_run_dir
+
     repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spark_scratch = (os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
-                     or os.path.join(repo_dir, ".sparkscratch"))
-    os.makedirs(spark_scratch, exist_ok=True)
-    for entry in os.listdir(spark_scratch):
-        if entry.startswith(("blockmgr-", "spark-", "pyarrowspace-")):
-            shutil.rmtree(os.path.join(spark_scratch, entry),
-                          ignore_errors=True)
+    spark_scratch = scratch_run_dir(
+        os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+        or os.path.join(repo_dir, ".sparkscratch"))
     spark = get_spark("measure-1m", extra_conf={
         "spark.io.compression.codec": "zstd",
         "spark.local.dir": spark_scratch,
@@ -611,6 +610,31 @@ def main() -> None:
             out["edges_loaded_from"] = edges_path
             out["n_edges_loaded"] = idx.edges.count()
             _run_edge_recall(spark, big, path, idx, out)
+            # M1M_ANN_PHASE=1: reconstruct the FULL index from the
+            # saved graph (λ/L_F/τ stages only — ~10 min at 2M vs a
+            # ~60 min full rebuild) and run the ANN/exact search
+            # phases in THIS fresh process. Motivation (r13 leg 1,
+            # same failure as r12): the ANN phase needs ~53 GB of
+            # scratch on top of whatever the build process still
+            # holds (persisted items/hashed tables, pair spools,
+            # exact-search shuffles) — in the build's own JVM that
+            # stack tripped the disk watchdog at 80 GB twice; a
+            # fresh JVM starts the phase from a clean scratch.
+            if os.environ.get("M1M_ANN_PHASE", "0") == "1":
+                t0 = time.time()
+                idx_full = ArrowSpaceBuilder.build(
+                    big, dict(BUILD_PARAMS), strategy="lsh",
+                    edges=idx.edges)
+                idx_full.items.count()
+                out["lambda_rebuild_sec"] = round(time.time() - t0, 1)
+                from pyarrowspace_spark.operators import (
+                    lambda_index as lam_mod)
+
+                out["lf_gather_spool"] = lam_mod._LAST_GATHER_SPOOL[0]
+                spark.sparkContext._jvm.System.gc()
+                if not _ABORT.is_set():
+                    _search_and_energy_phases(spark, big, idx_full, n,
+                                              out)
             _run_dd_phase(spark, big, idx, out, scratch)
             finish(partial=bool(_ABORT.is_set()))
             return
@@ -620,6 +644,9 @@ def main() -> None:
         idx.items.count(), idx.edges.count()
         out["build_sec"] = round(time.time() - t0, 1)
         out["build_items_per_sec"] = round(n / (time.time() - t0), 1)
+        from pyarrowspace_spark.operators import lambda_index as lam_mod
+
+        out["lf_gather_spool"] = lam_mod._LAST_GATHER_SPOOL[0]
         if save_edges:
             t0 = time.time()
             idx.edges.write.mode("overwrite").parquet(save_edges)

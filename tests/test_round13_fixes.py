@@ -140,6 +140,55 @@ def test_spool_modes_group_readable_default(monkeypatch):
     assert LAM._spool_modes() == (0o755, 0o644)
 
 
+def test_build_with_reused_edges_matches(spark, tmp_path):
+    """ArrowSpaceBuilder.build(edges=...) — the standard-build twin of
+    build_energy's one-graph-two-indexes reuse: rebuilding the index
+    from a saved edge list yields the same λ table and L_F as the
+    original build (the harness uses this to run the 2M ANN phase in
+    a fresh JVM without re-paying the kNN stage)."""
+    from pyarrowspace_spark.builder import ArrowSpaceBuilder
+
+    p, _ = _write_corpus(spark, tmp_path, n=150, f=8, seed=9)
+    items = spark.read.parquet(p).select("item_id", "features")
+    gp = {"eps": 0.9, "k": 5, "topk": 5, "p": 2.0}
+    idx = ArrowSpaceBuilder.build(items, gp, strategy="exact")
+    ep = str(tmp_path / "edges.parquet")
+    idx.edges.write.parquet(ep)
+    idx2 = ArrowSpaceBuilder.build(
+        items, gp, edges=spark.read.parquet(ep))
+    assert idx2.lsh_build_info is None
+    assert np.allclose(idx2.feature_laplacian, idx.feature_laplacian,
+                       rtol=1e-12, atol=0)
+    assert idx2.tau_synth == pytest.approx(idx.tau_synth, rel=1e-12)
+    lam1 = {r["item_id"]: r["lambda"]
+            for r in idx.items.select("item_id", "lambda").collect()}
+    lam2 = {r["item_id"]: r["lambda"]
+            for r in idx2.items.select("item_id", "lambda").collect()}
+    assert lam1.keys() == lam2.keys()
+    assert all(lam2[i] == pytest.approx(lam1[i], rel=1e-12)
+               for i in lam1)
+
+
+def test_scratch_run_dir_reaps_dead_only(tmp_path):
+    """Per-process scratch subdirs: a dead pid's run dir is reaped, a
+    live one's (ours) and foreign names are left alone — the r13 fix
+    for cross-process scratch cleanup killing live shuffle files."""
+    from pyarrowspace_spark.session import scratch_run_dir
+
+    root = str(tmp_path)
+    dead = tmp_path / "run-999999999"  # pid far above pid_max
+    dead.mkdir()
+    foreign = tmp_path / "blockmgr-someone-elses"
+    foreign.mkdir()
+    mine = scratch_run_dir(root)
+    assert os.path.isdir(mine)
+    assert mine == os.path.join(root, f"run-{os.getpid()}")
+    assert not dead.exists()
+    assert foreign.exists()
+    # idempotent for the same process
+    assert scratch_run_dir(root) == mine
+
+
 def test_gather_sort_toggle_parity(spark, test0_items_df, monkeypatch):
     """The src-sorted edge scan changes float summation order only:
     L_F agrees with the unsorted scan to ~1 ulp."""
