@@ -48,7 +48,8 @@ def _load(path: str) -> tuple[dict, dict]:
         extra = d.get("extra", {})
     else:  # measure_1m artifact: top-level *_sec floats
         queries = {k: v for k, v in d.items()
-                   if k.endswith("_sec") and isinstance(v, (int, float))}
+                   if k.endswith("_sec") and "per_sec" not in k
+                   and isinstance(v, (int, float))}
         extra = d
     return queries, extra
 
