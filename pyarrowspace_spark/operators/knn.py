@@ -313,14 +313,26 @@ LSH_BUCKET_MAX = 8192
 
 def auto_lsh_bands(n_bits: int) -> int:
     """Bands needed to hold the ≥0.95 recall contract at a given band
-    width: miss = (1 − f^bits)^bands ≤ e^−3. Bands grow ~linearly in
-    bits (≈ log N), so total LSH work is N·log N at fixed recall — the
-    correct asymptotic; a fixed band count silently degrades recall as
-    the corpus grows (observed: 0.977 @ 78k → 0.914 @ 313k)."""
+    width: miss = (1 − f^bits)^bands ≤ e^−budget. Bands grow ~linearly
+    in bits (≈ log N), so total LSH work is N·log N at fixed recall —
+    the correct asymptotic; a fixed band count silently degrades recall
+    as the corpus grows (observed: 0.977 @ 78k → 0.914 @ 313k).
+
+    $SPARK_GRAFT_LSH_MISS_BUDGET overrides the −ln(miss) budget
+    (default 3.0). Measured margin by scale (r13, two estimator seeds
+    each ≥800k): 0.9623 @ 313k (10 bits), 0.9539/0.9540 @ 800k
+    (12 bits), 0.9591 @ 2M (13 bits) — the 800k dip is stable across
+    seeds, i.e. model drift at the bit-rounding boundary
+    (log2(800k/256) = 11.61 rounds UP hardest of the three), not
+    sampling noise. The contract holds everywhere; deployments wanting
+    more margin in the 0.5–1.2M window can raise the budget to ~3.5
+    (≈ +17% bands → build cost) without a code change."""
     import math as _m
 
+    budget = float(os.environ.get("SPARK_GRAFT_LSH_MISS_BUDGET",
+                                  str(LSH_MISS_BUDGET)))
     p = LSH_DESIGN_COLLISION ** int(n_bits)
-    return max(16, int(_m.ceil(LSH_MISS_BUDGET / -_m.log(max(1.0 - p, 1e-12)))))
+    return max(16, int(_m.ceil(budget / -_m.log(max(1.0 - p, 1e-12)))))
 
 
 def lsh_plan(n_items: int, fdim: int, k: int,

@@ -189,6 +189,20 @@ def test_scratch_run_dir_reaps_dead_only(tmp_path):
     assert scratch_run_dir(root) == mine
 
 
+def test_lsh_miss_budget_env_override(monkeypatch):
+    """SPARK_GRAFT_LSH_MISS_BUDGET raises the band count (more margin)
+    without a code change; unset, the committed schedule is unchanged
+    — the 800k two-seed re-sample showed a stable (non-noise) 0.954
+    margin at 12 bits, so the lever must exist but must not silently
+    move the measured anchors."""
+    monkeypatch.delenv("SPARK_GRAFT_LSH_MISS_BUDGET", raising=False)
+    base = K.auto_lsh_bands(12)
+    monkeypatch.setenv("SPARK_GRAFT_LSH_MISS_BUDGET", "3.5")
+    assert K.auto_lsh_bands(12) > base
+    monkeypatch.setenv("SPARK_GRAFT_LSH_MISS_BUDGET", "3.0")
+    assert K.auto_lsh_bands(12) == base
+
+
 def test_gather_sort_toggle_parity(spark, test0_items_df, monkeypatch):
     """The src-sorted edge scan changes float summation order only:
     L_F agrees with the unsorted scan to ~1 ulp."""
