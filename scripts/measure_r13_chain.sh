@@ -1,4 +1,13 @@
 #!/bin/bash
+# SUPERSEDED by measure_r13_chain2.sh after legs 1-2 ran. DO NOT RUN:
+# clean_scratch's bulk `rm blockmgr-*` below was root-caused as the
+# r12 driver-bench killer — it deletes a CONCURRENT Spark process's
+# live shuffle files (reproduced in-session; it killed this chain's
+# own leg 2 that way). Kept verbatim as the record of what produced
+# BENCH_2000k_r13.json (leg 1). Per-process scratch subdirs
+# (session.scratch_run_dir) made the cleanup unnecessary AND unsafe
+# to imitate.
+#
 # Round-13 measurement chain — run EXCLUSIVELY (no pytest/bench while
 # it runs). Legs in verdict-priority order:
 #   1. 2M full anchor w/ SAVED edges          -> BENCH_2000k_r13.json
