@@ -368,6 +368,29 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: stratified_sample catalog fixture: one partial stratum, one
+#: non-terminating fraction, one full-take stratum; unlisted sources
+#: are dropped (the operator's documented mixture-materialization
+#: contract). Seed pinned so Spark and the DuckDB oracle rank rows by
+#: the identical md5 stream.
+STRATA_FRACTIONS = {"src0": 0.2, "src1": 0.52, "src7": 1.0}
+STRATA_SEED = 7
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deterministic stratified sampling (mixture
+    materialization): keep ceil(frac_s·n_s) rows per stratum by
+    md5("<seed>|<doc_id>") rank — reproducible by VALUE across engines
+    and under repartitioning (ref computes mixture weights only;
+    sampling there is caller-side, tests/test_3_beir.py)."""
+    from pyarrowspace_spark.operators import quality as Q
+
+    docs = loaders.load_table(spark, sf_dir, "documents")
+    out = Q.stratified_sample(docs, STRATA_FRACTIONS, seed=STRATA_SEED)
+    return out.select("doc_id", "source",
+                      F.col("n_chars").cast("long").alias("n_chars"))
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting / quality scoring / fingerprinting (text analysis)."""
     docs = loaders.load_table(spark, sf_dir, "documents")
@@ -1446,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "scrub_pii": q_scrub_pii,
         "source_mixture": q_source_mixture,
+        "stratified_sample": q_stratified_sample,
         "minhash_signatures": q_minhash_signatures,
         "minhash_band_pairs": q_minhash_band_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2457,6 +2481,23 @@ SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
        CAST(n_digit_runs AS BIGINT) AS n_digit_runs,
        {_sql_hash60('scrubbed')} AS scrubbed_fp
 FROM s3""",
+
+        "stratified_sample": f"""
+WITH fr(source, frac) AS (
+  VALUES {", ".join(f"('{s}', {f})"
+                    for s, f in sorted(STRATA_FRACTIONS.items()))}
+),
+r AS (
+  SELECT d.doc_id, d.source, d.n_chars, fr.frac,
+         row_number() OVER (
+             PARTITION BY d.source
+             ORDER BY md5('{STRATA_SEED}|' || CAST(d.doc_id AS VARCHAR)),
+                      d.doc_id) AS rn,
+         count(*) OVER (PARTITION BY d.source) AS n
+  FROM documents d JOIN fr USING (source)
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM r WHERE rn <= ceil(n * frac)""",
 
         "source_mixture": f"""
 WITH per_src AS (

@@ -152,3 +152,50 @@ def source_mixture_weights(docs: DataFrame, alpha: float = MIXTURE_ALPHA,
         source_col, "n_docs", "n_tokens",
         (raw / F.sum(raw).over(w_all)).alias("weight"),
     )
+
+
+def stratified_sample(docs: DataFrame, fractions: dict[str, float],
+                      seed: int = 7, id_col: str = "doc_id",
+                      strata_col: str = "source") -> DataFrame:
+    """EXACT deterministic stratified sample: from every stratum s
+    listed in `fractions`, keep the first ceil(frac_s · n_s) rows in
+    md5-rank order (rank key = md5("<seed>|<id>"), ties broken by id).
+    Strata absent from `fractions` are dropped — pair with
+    `source_mixture_weights` to materialize a target mixture (the
+    reference computes weights only and leaves sampling to the caller;
+    ref tests/test_3_beir.py samples corpora driver-side).
+
+    Cross-engine reproducible BY VALUE, not just by count: md5 of the
+    same UTF-8 string is the same lowercase hex in Spark and DuckDB,
+    so the oracle selects the identical row set — unlike
+    `df.sample`/`TABLESAMPLE`, whose RNG streams are engine-private.
+    This also makes the sample stable under repartitioning: membership
+    depends only on (seed, id, stratum census), never on row order or
+    partition count.
+
+    Plan at scale: ONE exchange on `strata_col` — the rank window and
+    the stratum-count window share the same partitioning, so Catalyst
+    plans a single shuffle; the per-stratum quota join is a broadcast
+    (the fractions table is tiny by construction). Skew is bounded by
+    the largest stratum: for mega-strata (≫ one executor's sort
+    budget) switch to the two-pass threshold form — aggregate stratum
+    counts map-side, then filter rows with rank-hash below the
+    stratum's quota quantile — which trades exactness of the boundary
+    row for a sort-free scan; this operator keeps the exact window
+    form, correct wherever a stratum fits a task's external sort.
+    """
+    spark = docs.sparkSession
+    fr = spark.createDataFrame(
+        [(str(s), float(f)) for s, f in sorted(fractions.items())],
+        schema=f"{strata_col} string, _frac double")
+    rk = F.md5(F.concat_ws("|", F.lit(str(int(seed))),
+                           F.col(id_col).cast("string")))
+    w_rank = Window.partitionBy(strata_col).orderBy(rk, id_col)
+    w_cnt = Window.partitionBy(strata_col)
+    return (
+        docs.join(F.broadcast(fr), strata_col)
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_n", F.count(F.lit(1)).over(w_cnt))
+        .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.col("_frac")))
+        .drop("_rn", "_n", "_frac")
+    )

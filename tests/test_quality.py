@@ -90,3 +90,32 @@ def test_dedup_keeplist_composition(spark):
     assert out[1] is False         # exact dup
     assert out[2] is False         # near-dup component member
     assert out[3] is True          # unique
+
+
+def test_stratified_sample_exact_and_deterministic(spark):
+    import hashlib
+    import math
+
+    rows = [(i, f"doc {i}", f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    frac = {"s0": 0.3, "s1": 1.0}  # s2 unlisted -> dropped
+    out = Q.stratified_sample(df, frac, seed=11).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # exact per-stratum quota: ceil(frac * n), n = 20 per stratum
+    assert len(by_src["s0"]) == math.ceil(0.3 * 20) == 6
+    assert by_src["s1"] == {i for i in range(60) if i % 3 == 1}
+    assert "s2" not in by_src
+    # membership matches the spec'd md5 rank computed independently
+    s0_ids = sorted((hashlib.md5(f"11|{i}".encode()).hexdigest(), i)
+                    for i in range(60) if i % 3 == 0)
+    assert by_src["s0"] == {i for _, i in s0_ids[:6]}
+    # stable under repartitioning (membership is hash-of-id, not order)
+    out2 = Q.stratified_sample(df.repartition(7), frac, seed=11).collect()
+    assert {(r["source"], r["doc_id"]) for r in out2} == {
+        (r["source"], r["doc_id"]) for r in out}
+    # different seed -> (almost surely) different s0 subset, same quota
+    out3 = Q.stratified_sample(df, frac, seed=12).collect()
+    s0_alt = {r["doc_id"] for r in out3 if r["source"] == "s0"}
+    assert len(s0_alt) == 6
