@@ -326,7 +326,12 @@ def auto_lsh_bands(n_bits: int) -> int:
     (log2(800k/256) = 11.61 rounds UP hardest of the three), not
     sampling noise. The contract holds everywhere; deployments wanting
     more margin in the 0.5–1.2M window can raise the budget to ~3.5
-    (≈ +17% bands → build cost) without a code change."""
+    (≈ +19% bands → build cost) without a code change — MEASURED at
+    800k (BENCH_800k_r13mb35.json): budget 3.5 → 37 bands → recall
+    0.9768 over the same 2000-sample estimator (0.9539/0.9540 at the
+    default 3.0), matching the e^-3.5 ≈ 0.97 miss-model prediction.
+    The default stays 3.0: the contract is ≥0.95 and the +19% build
+    cost is not free at 100 TB."""
     import math as _m
 
     budget = float(os.environ.get("SPARK_GRAFT_LSH_MISS_BUDGET",
