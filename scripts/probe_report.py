@@ -77,6 +77,19 @@ def main() -> None:
     host = math.exp(sum(math.log(r) for r in ratios) / len(ratios)) \
         if ratios else 1.0
     print(f"\nhost factor (geomean of probe ratios): {host:.2f}x")
+    # A single scalar only attributes anything when the probes AGREE on
+    # the direction/size of the host change. The r13 800k pair measured
+    # gemm 11x slower while diskwrite ran 8x faster — a geomean over
+    # that is noise dressed as a number. Flag it instead of printing a
+    # confident-looking table (resource-specific attribution: compare
+    # each query against the probe matching its known bottleneck —
+    # gemm for build/λ stages, diskwrite for spool-heavy ones).
+    if ratios and max(ratios) / min(ratios) > 10.0:
+        print("  WARNING: probe ratios span "
+              f"{max(ratios) / min(ratios):.0f}x — the hosts differ "
+              "per-RESOURCE, the scalar host factor and 'norm' column "
+              "are unreliable for this pair; attribute per query "
+              "against the probe matching its bottleneck.")
     la, lb = ea.get("loadavg_start"), eb.get("loadavg_start")
     print(f"loadavg_start: A={la}  B={lb}\n")
 
