@@ -391,6 +391,27 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_chars").cast("long").alias("n_chars"))
 
 
+#: mixture_sample catalog fixture: total token budget sized so every
+#: source takes a PARTIAL prefix at sf0.01 (≈100 tokens/source across
+#: 20 near-uniform sources, a few docs each).
+MIXTURE_SAMPLE_TOKENS = 2000
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture materialization: per-source budgets
+    ceil(w_s·T) from the temperature-α weights, docs taken in
+    md5-rank order until each budget is exhausted (boundary doc
+    included — `shard_by_tokens` packing semantics). The end-to-end
+    "make a T-token corpus with this mixture" primitive."""
+    from pyarrowspace_spark.operators import quality as Q
+
+    docs = loaders.load_table(spark, sf_dir, "documents")
+    out = Q.mixture_sample(docs, MIXTURE_SAMPLE_TOKENS,
+                           seed=STRATA_SEED)
+    return out.select("doc_id", "source",
+                      F.col("_n_tok").alias("n_tok"))
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting / quality scoring / fingerprinting (text analysis)."""
     docs = loaders.load_table(spark, sf_dir, "documents")
@@ -1470,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "source_mixture": q_source_mixture,
         "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
         "minhash_signatures": q_minhash_signatures,
         "minhash_band_pairs": q_minhash_band_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2498,6 +2520,38 @@ r AS (
 )
 SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
 FROM r WHERE rn <= ceil(n * frac)""",
+
+        "mixture_sample": f"""
+WITH per_src AS (
+  SELECT source,
+         sum(len({_SQL_TOKENS.format(t='text')}))::BIGINT AS n_tokens
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT source,
+         pow(n_tokens * 1.0 / sum(n_tokens) OVER (),
+             {Q.MIXTURE_ALPHA}) AS raw
+  FROM per_src
+),
+b AS (
+  SELECT source,
+         CAST(ceil(raw / sum(raw) OVER ()
+                   * {float(MIXTURE_SAMPLE_TOKENS)}) AS BIGINT)
+             AS tok_budget
+  FROM w
+),
+r AS (
+  SELECT d.doc_id, d.source,
+         len({_SQL_TOKENS.format(t='d.text')})::BIGINT AS n_tok,
+         sum(len({_SQL_TOKENS.format(t='d.text')})) OVER (
+             PARTITION BY d.source
+             ORDER BY md5('{STRATA_SEED}|'
+                          || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum,
+         b.tok_budget
+  FROM documents d JOIN b USING (source)
+)
+SELECT doc_id, source, n_tok FROM r WHERE cum - n_tok < tok_budget""",
 
         "source_mixture": f"""
 WITH per_src AS (

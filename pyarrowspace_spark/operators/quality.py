@@ -199,3 +199,53 @@ def stratified_sample(docs: DataFrame, fractions: dict[str, float],
         .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.col("_frac")))
         .drop("_rn", "_n", "_frac")
     )
+
+
+def mixture_sample(docs: DataFrame, total_tokens: int,
+                   alpha: float = MIXTURE_ALPHA, seed: int = 7,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   source_col: str = "source") -> DataFrame:
+    """Materialize a ~`total_tokens` training corpus at temperature α:
+    per-source token budgets ceil(w_s · T) from
+    `source_mixture_weights`, then docs taken in md5("<seed>|<id>")
+    rank order until each source's budget is exhausted (the boundary
+    doc that crosses its budget is INCLUDED — packing semantics, ≤ one
+    doc of overshoot per source, same rule as `shard_by_tokens`'s
+    shard boundaries). The end-to-end "make me a T-token corpus with
+    this mixture" primitive the weights op stops short of.
+
+    Deterministic by (seed, census): membership survives
+    repartitioning and is identical in the DuckDB oracle (md5 hex and
+    the ordered cumulative sum agree across engines). A source whose
+    corpus is smaller than its budget contributes everything — the
+    realized total can undershoot T (document-level sampling cannot
+    conjure tokens; re-run with a larger α-flattened budget or
+    upsample externally if T is a hard floor).
+
+    Plan at scale: two passes over `docs` — one map-side-combinable
+    groupBy for the census/weights (tiny result, broadcast back), one
+    windowed pass partitioned by source (rank + running token sum
+    share the single exchange). Same skew note as
+    `stratified_sample`: a mega-stratum bounds the sort; the
+    threshold-form fallback applies unchanged.
+    """
+    w = source_mixture_weights(docs, alpha=alpha, source_col=source_col,
+                               text_col=text_col)
+    budget = w.select(
+        source_col,
+        F.ceil(F.col("weight") * F.lit(float(total_tokens)))
+        .cast("long").alias("_tok_budget"))
+    rk = F.md5(F.concat_ws("|", F.lit(str(int(seed))),
+                           F.col(id_col).cast("string")))
+    # explicit ROWS frame: the (md5, id) ordering is unique so
+    # RANGE≡ROWS, but both engines' defaults are RANGE — spell out the
+    # frame the oracle replays rather than lean on tie-free ordering
+    w_rank = (Window.partitionBy(source_col).orderBy(rk, id_col)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        docs.join(F.broadcast(budget), source_col)
+        .withColumn("_n_tok", T.token_count(text_col).cast("long"))
+        .withColumn("_cum", F.sum("_n_tok").over(w_rank))
+        .filter(F.col("_cum") - F.col("_n_tok") < F.col("_tok_budget"))
+        .drop("_tok_budget", "_cum")
+    )

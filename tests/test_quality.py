@@ -119,3 +119,38 @@ def test_stratified_sample_exact_and_deterministic(spark):
     out3 = Q.stratified_sample(df, frac, seed=12).collect()
     s0_alt = {r["doc_id"] for r in out3 if r["source"] == "s0"}
     assert len(s0_alt) == 6
+
+
+def test_mixture_sample_budget_and_boundary(spark):
+    import hashlib
+
+    # s0: 4 docs x 10 tokens; s1: 2 docs x 5 tokens (small source)
+    rows = [(i, " ".join(["w"] * 10), "s0") for i in range(4)]
+    rows += [(10 + i, " ".join(["w"] * 5), "s1") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # alpha=1: weights proportional to tokens -> w_s0 = 40/50, w_s1 = 10/50
+    # T=25 -> budgets: s0 = ceil(20) = 20 tokens, s1 = ceil(5) = 5
+    out = Q.mixture_sample(df, 25, alpha=1.0, seed=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # s0: docs taken in md5 order while cum-before < 20 -> docs 1,2
+    # (10+10 = 20 exactly; the third doc would start AT the budget and
+    # is excluded: 20 - 10 < 20 holds for doc 2, 30 - 10 >= 20 for 3)
+    assert len(by_src["s0"]) == 2
+    md5_order = sorted(range(4),
+                       key=lambda i: (hashlib.md5(f"5|{i}".encode())
+                                      .hexdigest(), i))
+    assert set(by_src["s0"]) == set(md5_order[:2])
+    # s1 budget 5 tokens -> exactly one 5-token doc
+    assert len(by_src["s1"]) == 1
+    # boundary-doc inclusion: budget 12 for s0 (T=15, alpha=1 ->
+    # s0 budget ceil(12)=12): doc 1 fills 10, doc 2 STARTS under
+    # budget (10 < 12) so it is included though it crosses to 20
+    out2 = Q.mixture_sample(df, 15, alpha=1.0, seed=5).collect()
+    s0_ids = [r["doc_id"] for r in out2 if r["source"] == "s0"]
+    assert len(s0_ids) == 2
+    # undershoot: a source smaller than its budget contributes all
+    # docs and nothing errors (T huge)
+    out3 = Q.mixture_sample(df, 10_000, alpha=1.0, seed=5).collect()
+    assert len(out3) == 6
