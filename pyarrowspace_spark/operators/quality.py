@@ -162,8 +162,10 @@ def stratified_sample(docs: DataFrame, fractions: dict[str, float],
     md5-rank order (rank key = md5("<seed>|<id>"), ties broken by id).
     Strata absent from `fractions` are dropped — pair with
     `source_mixture_weights` to materialize a target mixture (the
-    reference computes weights only and leaves sampling to the caller;
-    ref tests/test_3_beir.py samples corpora driver-side).
+    reference leaves corpus sampling to the caller: its BEIR harness
+    subsets the corpus driver-side with a numpy RNG, ref
+    tests/test_3_beir.py:159-189 — non-reproducible across engines,
+    which is exactly what the md5 rank replaces).
 
     Cross-engine reproducible BY VALUE, not just by count: md5 of the
     same UTF-8 string is the same lowercase hex in Spark and DuckDB,
