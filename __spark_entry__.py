@@ -2535,7 +2535,7 @@ w AS (
 ),
 b AS (
   SELECT source,
-         CAST(ceil(raw / sum(raw) OVER ()
+         CAST(ceil(round(raw / sum(raw) OVER (), 9)
                    * {float(MIXTURE_SAMPLE_TOKENS)}) AS BIGINT)
              AS tok_budget
   FROM w

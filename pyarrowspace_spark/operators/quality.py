@@ -233,9 +233,15 @@ def mixture_sample(docs: DataFrame, total_tokens: int,
     """
     w = source_mixture_weights(docs, alpha=alpha, source_col=source_col,
                                text_col=text_col)
+    # budgets from the 9-decimal-ROUNDED weight: pow() can differ by a
+    # last ulp across engines, and an unrounded w·T landing exactly on
+    # an integer would flip ceil() — and with it a boundary doc's
+    # membership — between this plan and its SQL oracle twin. Rounding
+    # first pins the budget to the same value everywhere (9 decimals ≫
+    # any real mixture precision; same rounding source_mixture reports)
     budget = w.select(
         source_col,
-        F.ceil(F.col("weight") * F.lit(float(total_tokens)))
+        F.ceil(F.round(F.col("weight"), 9) * F.lit(float(total_tokens)))
         .cast("long").alias("_tok_budget"))
     rk = F.md5(F.concat_ws("|", F.lit(str(int(seed))),
                            F.col(id_col).cast("string")))
