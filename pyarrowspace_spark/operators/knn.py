@@ -319,10 +319,10 @@ def auto_lsh_bands(n_bits: int) -> int:
     as the corpus grows (observed: 0.977 @ 78k → 0.914 @ 313k).
 
     $SPARK_GRAFT_LSH_MISS_BUDGET overrides the −ln(miss) budget
-    (default 3.0). Measured margin by scale (r13, multi-seed):
-    0.9584–0.9623 @ 313k (10 bits, three seeds),
-    0.9539/0.9540 @ 800k (12 bits, two seeds), 0.9591 @ 2M (13 bits)
-    — the 800k dip is stable across seeds, i.e. model drift at the bit-rounding boundary
+    (default 3.0). Measured margin by scale (r13, multi-seed at every
+    anchor): 0.9584–0.9623 @ 313k (10 bits, three seeds),
+    0.9539/0.9540 @ 800k (12 bits, two seeds), 0.9561/0.9591 @ 2M
+    (13 bits, two seeds) — the 800k dip is stable across seeds, i.e. model drift at the bit-rounding boundary
     (log2(800k/256) = 11.61 rounds UP hardest of the three), not
     sampling noise. The contract holds everywhere; deployments wanting
     more margin in the 0.5–1.2M window can raise the budget to ~3.5
