@@ -353,6 +353,7 @@ def diffusion_step(
 def _diffuse_driver(
     items: DataFrame, edges: DataFrame, eta: float, steps: int,
     id_col: str, feat_col: str,
+    out_matrix: "list | None" = None,
 ) -> DataFrame:
     """Driver-tier diffusion: X and the narrow edge list both fit on
     the driver below the tier ceiling (same policy as lambda_index's
@@ -361,9 +362,21 @@ def _diffuse_driver(
     A first cut of this tier round-tripped X through a distributed
     kernel every step; the 1 GB broadcast + toPandas + re-stack per
     step cost ~2 min/step at N=313k while the arithmetic itself is
-    ~20 s — the round trip WAS the cost, so it was removed."""
+    ~20 s — the round trip WAS the cost, so it was removed.
+
+    `out_matrix`: pass a list and the tier appends the diffused
+    (sorted_ids, X) pair before handing the frame back — callers that
+    immediately need the matrix again (build_energy's Laplacian spool
+    and quantizer training both collected the SAME matrix straight
+    back from the frame, r13-opt) reuse it driver-side for free."""
     spark = items.sparkSession
-    ids, X = collect_id_matrix(items.orderBy(id_col), id_col, feat_col)
+    # Collect unsorted and sort driver-side: the old
+    # `items.orderBy(id_col)` paid a full N×F range exchange + sort
+    # just to order the collect; one argsort over the collected ids is
+    # the same total order (ids are unique) for ~zero cost.
+    ids, X = collect_id_matrix(items, id_col, feat_col)
+    perm = np.argsort(ids, kind="stable")
+    ids, X = ids[perm], np.ascontiguousarray(X[perm])
     epdf = _symmetrize(edges).toPandas()
     # positions_of raises KeyError on any edge endpoint absent from
     # items — `diffuse` is a public operator, so the "endpoints come
@@ -406,6 +419,8 @@ def _diffuse_driver(
     # eager_release: the scan is absorbed into Spark block storage and
     # its scratch files deleted at once, so a session building many
     # indexes doesn't accumulate one N×F parquet per diffuse call.
+    if out_matrix is not None:
+        out_matrix.append((ids, X))
     return matrix_to_frame(spark, ids, X, id_col, feat_col,
                            eager_release=True)
 
@@ -413,7 +428,8 @@ def _diffuse_driver(
 def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
             id_col: str = "item_id", feat_col: str = "features",
             step_times: "list[float] | None" = None,
-            msg_dtype: str | None = None) -> DataFrame:
+            msg_dtype: str | None = None,
+            out_matrix: "list | None" = None) -> DataFrame:
     """G12 heat diffusion, `steps` iterations. Physical tiers:
 
     - driver tier (N·F·8 ≤ DIFFUSE_BROADCAST_MAX_BYTES, default 4 GiB
@@ -477,7 +493,8 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
         global _LAST_DIFFUSE_INFO
         _LAST_DIFFUSE_INFO = {"tier": "driver", "msg_dtype": "float64",
                               "feat_chunks": 1, "n_sym_edges": None}
-        return _diffuse_driver(items, edges, eta, steps, id_col, feat_col)
+        return _diffuse_driver(items, edges, eta, steps, id_col, feat_col,
+                               out_matrix=out_matrix)
     # loop-invariant across steps: symmetrized edges + degrees, each
     # persisted once instead of re-shuffled E rows per step. The edge
     # list is persisted PRE-PARTITIONED on src (InMemoryRelation keeps
@@ -747,8 +764,17 @@ def build_energy(
     # (r5 brief #7); the count also picks the percentile tier.
     kept_edges = trim_edges(edges, eparams.trim_quantile).persist()
 
-    # G12: diffusion smoothing (reads the now-cached edges).
-    diffused = diffuse(base, edges, eparams.eta, eparams.steps).persist()
+    # G12: diffusion smoothing (reads the now-cached edges). The
+    # driver tier hands the diffused (ids, X) matrix back via
+    # out_matrix so the Laplacian spool and the quantizer below reuse
+    # it instead of re-collecting the same N×F doubles from the frame
+    # (two full toPandas passes saved per build, r13-opt; row order is
+    # the id-sorted order those collects returned anyway, so every
+    # value is bit-identical).
+    _xy_out: list = []
+    diffused = diffuse(base, edges, eparams.eta, eparams.steps,
+                       out_matrix=_xy_out).persist()
+    xy = _xy_out[0] if _xy_out else None
     # snapshot how the stage ran (tier/dtype/chunks) for the index's
     # self-description before any other diffuse call overwrites it
     dinfo = dict(_LAST_DIFFUSE_INFO) if (
@@ -757,7 +783,8 @@ def build_energy(
     # λ/e on the *diffused* space — one kernel pass for the
     # τ-independent components, τ-synthesis + blend JVM-side (same
     # single-pass pattern as the standard builder).
-    lf = lam_ops.feature_laplacian(diffused, kept_edges, n_features)
+    lf = lam_ops.feature_laplacian(diffused, kept_edges, n_features,
+                                   x_matrix=xy)
     comp = lam_ops.with_energy_components(diffused, lf).persist()
     n_items = base.count()  # cached; picks the τ-median percentile tier
     tau_row = comp.select(
@@ -785,18 +812,33 @@ def build_energy(
     from .simsearch import deterministic_cap, ivf_assign, lloyd_kmeans
 
     k_tokens = int(eparams.optical_tokens or 40)
-    train = deterministic_cap(indexed.select("item_id", "features"),
-                              "item_id", COMPRESS_MAX_TRAIN)
-    _, x_train = collect_id_matrix(train.orderBy("item_id"),
-                                   "item_id", "features")
+    if xy is not None and n_items <= COMPRESS_MAX_TRAIN:
+        # below the training cap, deterministic_cap is the identity
+        # and orderBy(item_id) is exactly the id-sorted diffused
+        # matrix already on the driver — same rows, same order, same
+        # doubles, one full collect saved
+        x_train = xy[1]
+    else:
+        train = deterministic_cap(indexed.select("item_id", "features"),
+                                  "item_id", COMPRESS_MAX_TRAIN,
+                                  n_rows=n_items)
+        _, x_train = collect_id_matrix(train.orderBy("item_id"),
+                                       "item_id", "features")
     centers0 = lloyd_kmeans(x_train, k_tokens, seed=42)
-    assigned = ivf_assign(
-        indexed.select("item_id", "features"), centers0,
-        "features", "cells", n_probe=1,
-    ).select("item_id", F.explode("cells").alias("centroid_id"))
-    # persisted: consumed by the first attrs pass, the split-member
-    # collect, and the reassignment scan
-    with_c = indexed.join(assigned, "item_id").persist()
+    del x_train, xy
+    _xy_out.clear()  # release the driver-resident N×F matrix
+    # Assignment as a column on `indexed` directly (r13-opt): the old
+    # shape computed `assigned` on a SELECT of indexed and joined it
+    # back on item_id — a full N-row self-join (two exchanges + an
+    # N×F sort) whose stage measured 483 task-sec at the 78k bench.
+    # ivf_assign is just a withColumn, so attaching it in place emits
+    # the identical rows with zero shuffle.
+    with_c = (
+        ivf_assign(indexed, centers0, "features", "cells", n_probe=1)
+        .withColumn("centroid_id", F.explode("cells")).drop("cells")
+        # persisted: consumed by the first attrs pass, the split-member
+        # collect, and the reassignment scan
+        .persist())
 
     centroids = _centroid_attrs(with_c).persist()
 
@@ -905,21 +947,23 @@ def build_energy(
                 .filter(F.col("_rn") == 1)
                 .select("item_id", F.col("child_id").alias("centroid_id"))
             )
-            assigned = (
-                assigned.join(reassigned.select("item_id"),
-                              "item_id", "left_anti")
-                .unionAll(reassigned)
-            )
             with_c0 = with_c
-            # Materialize the post-split frame WHILE the pre-split
-            # cache is still warm: `reassigned` reads with_c0, so
-            # unpersisting first would force a full assignment
-            # recompute at first consumption (measured: 63 s → 176 s
-            # materialize at N=313k). One count against warm caches,
-            # THEN drop the dead pre-split cache (ADVICE r5 — without
-            # the unpersist it holds executor storage for the index
-            # lifetime).
-            with_c = indexed.join(assigned, "item_id").persist()
+            # Post-split members table as an UPDATE of the cached
+            # pre-split frame (r13-opt): the old shape rebuilt
+            # `assigned` (anti-join + union) and re-joined it against
+            # `indexed` — re-running the whole assignment UDF pass
+            # plus another N-row wide join. reassigned carries one row
+            # per member of a split token, so a left join + coalesce
+            # over the warm with_c0 cache emits the identical rows.
+            # Materialize WHILE the pre-split cache is warm, THEN drop
+            # it (ADVICE r5 — without the unpersist it holds executor
+            # storage for the index lifetime).
+            _new = reassigned.withColumnRenamed("centroid_id", "_new_cid")
+            with_c = (
+                with_c0.join(_new, "item_id", "left")
+                .withColumn("centroid_id",
+                            F.coalesce("_new_cid", "centroid_id"))
+                .drop("_new_cid").persist())
             with_c.count()
             with_c0.unpersist()
             child_attrs = _centroid_attrs(
@@ -930,10 +974,9 @@ def build_energy(
             )
 
     return EnergyIndex(
-        # persisted: every consumer (search member rescore, centroid
-        # attrs, the bench materialize) re-reads items; without this
-        # the join lineage recomputes the λ kernel pass per action.
-        items=with_c.persist(),
+        # with_c is already persisted above (a second .persist() here
+        # only logged "Asked to cache already cached data")
+        items=with_c,
         centroids=centroids.persist(),
         edges=kept_edges,
         feature_laplacian=lf,

@@ -551,32 +551,55 @@ def _pairwise_candidates_lsh(
                 {"src": np.int64, "dst": np.int64, "dist": np.float64})
         ids = pdf["id"].to_numpy(dtype=np.int64)
         U = np.stack(pdf["uvec"].to_numpy())
+        # Sort the bucket by id so that equal-distance ties resolve to
+        # the LOWER dst by plain stable ordering — the vectorized
+        # selection below then matches the reference tie-break
+        # lexsort((dst, dist)) without a per-row Python loop. (The old
+        # per-row mask/nonzero/lexsort cost ~40-60 s of pure numpy
+        # call overhead per build at the 78k bench: ~1.26M row
+        # iterations × 4-6 tiny numpy calls; guide §4.2 — hand whole
+        # batches to vectorized kernels.) Distances are the same
+        # fp32-gemm → fp64 arithmetic as before; only the selection is
+        # vectorized, so the emitted (src, dst, dist) set is
+        # identical.
+        order0 = np.argsort(ids, kind="stable")
+        ids = ids[order0]
+        U = U[order0]
         out_s, out_d, out_v = [], [], []
         # Chunk rows so the chunk×n distance block stays bounded even
         # in a pathologically skewed bucket.
-        for c0 in range(0, n, 1024):
-            Uc = U[c0:c0 + 1024]
+        chunk = int(max(64, min(1024, (64 << 20) // (n * 16))))
+        for c0 in range(0, n, chunk):
+            Uc = U[c0:c0 + chunk]
+            m = len(Uc)
             cos = Uc @ U.T
             dist = 1.0 - np.maximum(cos.astype(np.float64), 0.0)
-            for r in range(len(Uc)):
-                drow = dist[r]
-                mask = (drow <= eps_f) & (ids != ids[c0 + r])
-                cand = np.nonzero(mask)[0]
-                if cand.size == 0:
-                    continue
-                if k_i and cand.size > k_i:
-                    order = np.lexsort((ids[cand], drow[cand]))[:k_i]
-                    cand = cand[order]
-                out_s.append(np.full(cand.size, ids[c0 + r], dtype=np.int64))
-                out_d.append(ids[cand])
-                out_v.append(drow[cand])
+            # invalid = outside the eps ball, or same id (covers both
+            # the self-pair and any duplicated id, matching the old
+            # `ids != ids[row]` exclusion)
+            bad = (dist > eps_f) | (ids[None, :] == ids[c0:c0 + m, None])
+            if k_i and n > k_i:
+                d2 = np.where(bad, np.inf, dist)
+                sel = np.argsort(d2, axis=1, kind="stable")[:, :k_i]
+                dsel = np.take_along_axis(d2, sel, axis=1)
+                valid = np.isfinite(dsel)
+                rows = np.nonzero(valid)[0]
+                out_s.append(ids[c0 + rows])
+                out_d.append(ids[sel[valid]])
+                out_v.append(dsel[valid])
+            else:
+                rows, cols = np.nonzero(~bad)
+                out_s.append(ids[c0 + rows])
+                out_d.append(ids[cols])
+                out_v.append(dist[~bad])
+        out_s = [a for a in out_s if a.size]
         if not out_s:
             return pd.DataFrame({"src": [], "dst": [], "dist": []}).astype(
                 {"src": np.int64, "dst": np.int64, "dist": np.float64})
         return pd.DataFrame({
             "src": np.concatenate(out_s),
-            "dst": np.concatenate(out_d),
-            "dist": np.concatenate(out_v),
+            "dst": np.concatenate([a for a in out_d if a.size]),
+            "dist": np.concatenate([a for a in out_v if a.size]),
         })
 
     # Skew guard: a degenerate corpus (mass-duplicate vectors — common

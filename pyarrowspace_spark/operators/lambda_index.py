@@ -266,6 +266,7 @@ def feature_laplacian(
     id_col: str = "item_id",
     feat_col: str = "features",
     x_source: dict | None = None,
+    x_matrix: "tuple[np.ndarray, np.ndarray] | None" = None,
 ) -> np.ndarray:
     """Compute L_F = Xᵀ (D - W) X distributedly.
 
@@ -314,8 +315,20 @@ def feature_laplacian(
     # session's own result limit is (N=600k on a default-1g session
     # sits under the 2M-row ceiling yet needs a 1.8 GB collect).
     x_fits = collect_eligible(items.sparkSession, n * n_features * 8)
+    # `x_matrix` = (id-sorted ids, X in that order) already on the
+    # driver — build_energy's diffusion tier just PRODUCED this exact
+    # matrix, and re-collecting it from the frame it was handed back
+    # as cost a full N×F toPandas per consumer (r13-opt). Row order is
+    # identical to what the collect paths below would produce (the
+    # diffused frame is written id-sorted), so every downstream value
+    # is bit-identical.
+    if x_matrix is not None and len(x_matrix[0]) != n:
+        x_matrix = None  # stale/mismatched handoff: fall back safely
     if n <= EXACT_PATH_MAX_ROWS and x_fits:
-        ids_arr, X = collect_id_matrix(items, id_col, feat_col)
+        if x_matrix is not None:
+            ids_arr, X = x_matrix
+        else:
+            ids_arr, X = collect_id_matrix(items, id_col, feat_col)
         s_ids, order = sorted_index(ids_arr)
         e_pdf = edges.select("src", "dst", "weight").toPandas()
         si = positions_of(e_pdf["src"].to_numpy(dtype=np.int64), s_ids, order)
@@ -398,7 +411,14 @@ def feature_laplacian(
             src_mode = os.environ.get("SPARK_GRAFT_LF_X_SOURCE",
                                       "auto").lower()
             s_ids = order = None
-            if x_source and src_mode != "collect":
+            if x_matrix is not None:
+                # driver-resident handoff (already id-sorted): spool
+                # it directly — no collect, no parquet re-read
+                s_ids = x_matrix[0]
+                order = np.arange(n, dtype=np.int64)
+                np.save(x_path, x_matrix[1].astype(x_dtype, copy=False))
+                _LAST_GATHER_SPOOL[0] = "matrix"
+            elif x_source and src_mode != "collect":
                 res = _stream_spool_from_parquet(
                     x_source, n, fdim, x_dtype, x_path)
                 if res is not None:
@@ -436,8 +456,12 @@ def feature_laplacian(
             x_bytes = n * fdim * x_dtype().itemsize
         else:
             _LAST_GATHER_SPOOL[0] = "broadcast"
-            ids_arr, X = collect_id_matrix(items, id_col, feat_col)
-            perm = np.argsort(ids_arr, kind="stable")
+            if x_matrix is not None:
+                ids_arr, X = x_matrix
+                perm = np.arange(n, dtype=np.int64)
+            else:
+                ids_arr, X = collect_id_matrix(items, id_col, feat_col)
+                perm = np.argsort(ids_arr, kind="stable")
             s_ids = ids_arr[perm]
             order = np.arange(n, dtype=np.int64)
             X = X[perm].astype(x_dtype, copy=False)
@@ -456,7 +480,6 @@ def feature_laplacian(
                 Xl = b_X.value
                 s_l, ord_l = b_idx.value
             acc = np.zeros((fdim, fdim), dtype=np.float64)
-            deg_local = np.zeros(len(Xl), dtype=np.float64)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -467,20 +490,6 @@ def feature_laplacian(
                 w = pdf["weight"].to_numpy(dtype=np.float64)
                 C = (Xl[si] * w[:, None]).T @ Xl[di]
                 acc -= C + C.T
-                np.add.at(deg_local, si, w)
-                np.add.at(deg_local, di, w)
-            # Fold this partition's degree mass into the diagonal term
-            # locally: Σ deg_i x_i x_iᵀ over rows this partition
-            # touched — in bounded slices: `Xl[touched]` on a
-            # most-rows-touched partition materializes ~all of X (and
-            # the old expression evaluated it TWICE — a 12 GB/worker
-            # transient at N=2M, a main course of the OOM this tier's
-            # r11 rework exists to fix).
-            touched = np.nonzero(deg_local)[0]
-            for t0 in range(0, touched.size, 65536):
-                ti = touched[t0:t0 + 65536]
-                Xt = np.asarray(Xl[ti], dtype=np.float64)
-                acc += (Xt * deg_local[ti, None]).T @ Xt
             yield pd.DataFrame({"partial": acc.ravel()})
 
         schema = StructType([StructField("partial", DoubleType(), False)])
@@ -494,6 +503,37 @@ def feature_laplacian(
         # L_F moves ~1 ulp — within every pinned tolerance.
         if os.environ.get("SPARK_GRAFT_LF_GATHER_SORT", "1") != "0":
             e_scan = e_scan.sortWithinPartitions("src")
+        # Diagonal term Σ deg_i·x_i x_iᵀ: ONE driver gemm over the
+        # spool, not a per-partition fold (r13-opt; guide §1.2 "the
+        # distributed algorithm first"). The old edge_partials
+        # accumulated the degree-weighted diagonal inside EVERY task —
+        # each partition touches nearly all N rows of a connected
+        # graph, so total diagonal work was P·N·F² (736 GFLOP at the
+        # 78k bench vs 354 GFLOP for the edge term it rode along with,
+        # and growing with the partition count). Degrees come from one
+        # map-side-combined SQL aggregate (2E narrow rows, tiny);
+        # the driver gemm is N·F² once, chunked to bound the fp64
+        # upcast transient, at full driver BLAS width. Only the
+        # floating-point summation ORDER changes (~1 ulp on L_F),
+        # within every pinned tolerance — same class as the existing
+        # sortWithinPartitions note above.
+        deg_pdf = (
+            edges.select(F.col("src").alias("_n"), "weight")
+            .unionAll(edges.select(F.col("dst").alias("_n"), "weight"))
+            .groupBy("_n").agg(F.sum("weight").alias("_d"))
+        ).toPandas()
+        deg_vec = np.zeros(n, dtype=np.float64)
+        if len(deg_pdf):
+            dpos = positions_of(deg_pdf["_n"].to_numpy(dtype=np.int64),
+                                s_ids, order)
+            deg_vec[dpos] = deg_pdf["_d"].to_numpy(dtype=np.float64)
+        X_diag = (np.load(x_path, mmap_mode="r") if x_path is not None
+                  else b_X.value)
+        diag = np.zeros((fdim, fdim), dtype=np.float64)
+        for t0 in range(0, n, 65536):
+            Xt = np.asarray(X_diag[t0:t0 + 65536], dtype=np.float64)
+            diag += (Xt * deg_vec[t0:t0 + 65536, None]).T @ Xt
+        del X_diag
         if x_path is None:
             # Broadcast fallback (no worker-visible scratch): every
             # Python worker unpickles its OWN copy of X, and the real
@@ -538,7 +578,7 @@ def feature_laplacian(
                 if d in matrix_mod._SCRATCH_DIRS:
                     matrix_mod._SCRATCH_DIRS.remove(d)
         flat = np.array([r["partial"] for r in parts], dtype=np.float64)
-        lf = flat.reshape(-1, fdim, fdim).sum(axis=0)
+        lf = flat.reshape(-1, fdim, fdim).sum(axis=0) + diag
         return (lf + lf.T) / 2.0
 
     deg = (

@@ -178,8 +178,16 @@ def search_ann(
     else:
         hashed = with_lsh_buckets(
             index.select(id_col, feat_col, "e_raw", "g"), planes, feat_col)
-    it = hashed.select(
-        id_col, feat_col, "e_raw", "g",
+    # Precompute the item-side norm and λ(τ) ONCE per item BEFORE the
+    # table posexplode (guide §2.3, project/derive before the fan-out):
+    # the old plan evaluated l2_norm(features) and the λ blend per
+    # CANDIDATE row — every item × table × probe hit re-ran the same
+    # 384-element fold. Same expressions over the same input arrays →
+    # bit-identical scores.
+    it = hashed.withColumn("_xn", V.l2_norm(feat_col)).withColumn(
+        "_xl", blend_lambda_cols(F.col("e_raw"), F.col("g"), tau)
+    ).select(
+        id_col, feat_col, "_xn", "_xl",
         F.posexplode(F.array(*[f"bucket_{t}" for t in range(n_tables)]))
         .alias("t", "bucket"),
     )
@@ -187,33 +195,39 @@ def search_ann(
         q_lam.select(query_id_col,
                      F.col("q_features").alias(feat_col), "q_lambda"),
         planes, feat_col,
-    ).select(
+    ).withColumn("_qn", V.l2_norm(feat_col)).select(
         query_id_col, F.col(feat_col).alias("q_features"), "q_lambda",
+        "_qn",
         F.posexplode(F.array(*[f"bucket_{t}" for t in range(n_tables)]))
         .alias("t", "bucket"),
     )
     if probe_hamming1:
         qu = qu.select(
-            query_id_col, "q_features", "q_lambda", "t",
+            query_id_col, "q_features", "q_lambda", "_qn", "t",
             F.explode(F.array(
                 F.col("bucket"),
                 *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
                   for j in range(n_planes)],
             )).alias("bucket"),
         )
-    cands = (
-        it.join(F.broadcast(qu), ["t", "bucket"])
-        .dropDuplicates([query_id_col, id_col])
-    )
+    # Score BEFORE deduplicating (guide §2.3 "shuffle fewer bytes"):
+    # duplicate (query, item) hits carry identical inputs → identical
+    # scores, so dedupe via groupBy/max over (query_id, item_id, score)
+    # shuffles 24-byte rows instead of the old dropDuplicates' 2×F
+    # double arrays per candidate (~6 KB/row), and the agg combines
+    # map-side. cosine = dot/( _qn·_xn ) is the same expression tree
+    # cosine_similarity builds — same operand order, bit-identical.
+    cands = it.join(F.broadcast(qu), ["t", "bucket"])
     scored = cands.select(
         query_id_col, id_col,
         V.blended_score(
-            V.cosine_similarity("q_features", feat_col),
+            V.dot("q_features", feat_col)
+            / (F.col("_qn") * F.col("_xn")),
             F.col("q_lambda"),
-            blend_lambda_cols(F.col("e_raw"), F.col("g"), tau),
+            F.col("_xl"),
             tau,
         ).alias("score"),
-    )
+    ).groupBy(query_id_col, id_col).agg(F.max("score").alias("score"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )

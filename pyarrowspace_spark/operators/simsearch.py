@@ -234,10 +234,17 @@ def ann_cosine_topk(
     # side is tiny → broadcast, so the whole candidate generation is a
     # single broadcast hash join with zero corpus shuffle (the per-table
     # join-then-union formulation re-scanned the corpus n_tables times).
+    # Norms precomputed once per item/query BEFORE the table fan-out,
+    # and scoring moved BEFORE the dedupe (guide §2.3): duplicate
+    # (query, item) hits score identically, so groupBy/max over narrow
+    # (query_id, item_id, score) rows replaces a dropDuplicates whose
+    # shuffle carried both full F-double vectors per candidate.
+    # cosine = dot/(qn·xn) is the same expression tree
+    # cosine_similarity builds — same operand order, bit-identical.
     it = with_lsh_buckets(
         items.select(F.col(id_col), F.col(feat_col)), planes, feat_col
-    ).select(
-        id_col, feat_col,
+    ).withColumn("_xn", V.l2_norm(feat_col)).select(
+        id_col, feat_col, "_xn",
         F.posexplode(F.array(*[f"bucket_{t}" for t in range(n_tables)]))
         .alias("t", "bucket"),
     )
@@ -245,28 +252,28 @@ def ann_cosine_topk(
         queries.select(F.col(query_id_col),
                        F.col(feat_col).alias("q_features")),
         planes, "q_features",
-    ).select(
-        query_id_col, "q_features",
+    ).withColumn("_qn", V.l2_norm("q_features")).select(
+        query_id_col, "q_features", "_qn",
         F.posexplode(F.array(*[f"bucket_{t}" for t in range(n_tables)]))
         .alias("t", "bucket"),
     )
     if probe_hamming1:
         qu = qu.select(
-            query_id_col, "q_features", "t",
+            query_id_col, "q_features", "_qn", "t",
             F.explode(F.array(
                 F.col("bucket"),
                 *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
                   for j in range(n_planes)],
             )).alias("bucket"),
         )
-    cands = (
+    scored = (
         it.join(F.broadcast(qu), ["t", "bucket"])
-        .select(query_id_col, "q_features", id_col, feat_col)
-        .dropDuplicates([query_id_col, id_col])
-    )
-    scored = cands.select(
-        query_id_col, id_col,
-        V.cosine_similarity("q_features", feat_col).alias("score"),
+        .select(
+            query_id_col, id_col,
+            (V.dot("q_features", feat_col)
+             / (F.col("_qn") * F.col("_xn"))).alias("score"),
+        )
+        .groupBy(query_id_col, id_col).agg(F.max("score").alias("score"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
@@ -397,17 +404,27 @@ def ivf_cosine_topk(
 ) -> DataFrame:
     """IVF ANN: items live in 1 cell, queries probe n_probe cells;
     exact cosine rescore within probed cells."""
+    # Same shuffle-narrowing as ann_cosine_topk: norms once per side,
+    # score before the dedupe, groupBy/max over narrow rows (duplicate
+    # probe hits score identically, so max == the single value).
     it = ivf_assign(items.select(id_col, feat_col), centroids,
                     feat_col, "cells", n_probe=1)
-    it = it.select(id_col, feat_col, F.explode("cells").alias("cell"))
+    it = it.withColumn("_xn", V.l2_norm(feat_col)).select(
+        id_col, feat_col, "_xn", F.explode("cells").alias("cell"))
     qu = ivf_assign(
         queries.select(query_id_col, F.col(feat_col).alias("q_features")),
         centroids, "q_features", "cells", n_probe=n_probe,
-    ).select(query_id_col, "q_features", F.explode("cells").alias("cell"))
-    cands = qu.join(it, "cell").dropDuplicates([query_id_col, id_col])
-    scored = cands.select(
-        query_id_col, id_col,
-        V.cosine_similarity("q_features", feat_col).alias("score"),
+    ).withColumn("_qn", V.l2_norm("q_features")).select(
+        query_id_col, "q_features", "_qn",
+        F.explode("cells").alias("cell"))
+    scored = (
+        qu.join(it, "cell")
+        .select(
+            query_id_col, id_col,
+            (V.dot("q_features", feat_col)
+             / (F.col("_qn") * F.col("_xn"))).alias("score"),
+        )
+        .groupBy(query_id_col, id_col).agg(F.max("score").alias("score"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
