@@ -34,10 +34,22 @@ def stages_full(spark) -> list[dict]:
     app_id = app[0]["id"]
     sts = json.load(urllib.request.urlopen(
         f"{url}/api/v1/applications/{app_id}/stages?status=complete"))
+    def _ts(s):
+        from datetime import datetime, timezone
+        return datetime.strptime(
+            s.replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f"
+        ).replace(tzinfo=timezone.utc).timestamp()
+
     out = []
     for st in sts:
+        try:
+            wall = round(_ts(st["completionTime"])
+                         - _ts(st["submissionTime"]), 2)
+        except Exception:
+            wall = None
         out.append({
             "sid": st["stageId"],
+            "wall": wall,
             "name": st.get("name", ""),
             "desc": (st.get("description") or "")[:60],
             "num_tasks": st.get("numTasks", 0),
