@@ -255,6 +255,18 @@ class ArrowSpaceBuilder:
             from .functions import vector as V
 
             base = base.withColumn("features", V.l2_normalize("features"))
+        # Ensure the corpus scan's EFFECTIVE parallelism before caching
+        # it: a single-row-group parquet (every driver testdata file,
+        # and the synth bench corpus before r13) is unsplittable, so
+        # without this every corpus pass of the build — hashing, the λ
+        # kernel, magnitude stats — ran on ONE task while 31 cores
+        # idled (measured: 31 tasks at 0.25 s, one at 78 s). The cache
+        # then preserves the balanced layout for every downstream pass.
+        from .functions.matrix import with_scan_parallelism
+
+        base = with_scan_parallelism(base, int(
+            items.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                        "32")))
         # Edges + λ both traverse base twice — cache across the build.
         base = base.persist()
 
@@ -283,11 +295,20 @@ class ArrowSpaceBuilder:
             edges = edges.persist()
             lsh_info = None
         else:
+            # x_src (trivial-scan provenance, resolved above) also
+            # feeds the LSH narrow-shuffle plan's U spool: the spool
+            # streams straight from the corpus parquet instead of a
+            # full collect. Only valid when the graph runs on the
+            # untransformed input — the same condition the λ gather
+            # checks below.
+            knn_x_src = (x_src if (graph_input is base
+                                   and graph_feat == "features") else None)
             edges = knn_ops.knn_edges(graph_input, params,
                                       strategy=strategy,
                                       feat_col=graph_feat,
                                       lsh_bits=lsh_bits,
-                                      lsh_bands=lsh_bands).persist()
+                                      lsh_bands=lsh_bands,
+                                      x_source=knn_x_src).persist()
             # The grouped LSH pair stage runs EAGERLY inside knn_edges
             # (its spools are written group by group), so its measured
             # record is complete here; None when exact/single-stage

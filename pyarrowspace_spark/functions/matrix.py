@@ -202,6 +202,72 @@ def _pure_python_frame(spark, ids: np.ndarray, X: np.ndarray,
         schema=schema)
 
 
+def scan_split_info(df: DataFrame) -> "tuple[int, int] | None":
+    """(independently-readable splits, total rows) of a LOCAL-parquet-
+    backed frame — the split count is the total parquet ROW-GROUP
+    count, because a row group is the unit Spark can actually read in
+    parallel. `maxPartitionBytes` byte-ranges over a single-row-group
+    file all resolve to the one task whose range contains the group's
+    start offset, so `rdd.getNumPartitions()` wildly overstates the
+    real parallelism there (r13-opt: every driver-testdata file and
+    the synth bench corpus were written as ONE row group — task
+    quantiles showed 31 tasks at 0.25 s and one at 78 s). None when
+    the inputs aren't local parquet files (unknown → trust Spark)."""
+    import re
+
+    try:
+        files = [re.sub(r"^file:/*", "/", f) if f.startswith("file:")
+                 else f for f in df.inputFiles()]
+    except Exception:
+        return None
+    files = [f for f in files if f]
+    if not files or not all(os.path.isfile(f) and f.endswith(".parquet")
+                            for f in files):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        splits = rows = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            splits += md.num_row_groups
+            rows += md.num_rows
+        return splits, rows
+    except Exception:
+        return None
+
+
+def with_scan_parallelism(df: DataFrame, n_target: int) -> DataFrame:
+    """Round-robin repartition a SCAN-BACKED frame whose effective
+    read parallelism is below `n_target`. Effective parallelism is
+    min(partition count, unsplittable-row-group count); frames whose
+    plan already contains an Exchange are left alone (their
+    partitioning no longer derives from the file layout). Tiny frames
+    (< 64 rows per target partition) are left alone too — the
+    exchange would cost more than the skew."""
+    try:
+        n_parts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    try:
+        planned = df._jdf.queryExecution().executedPlan().toString()
+        # an Exchange re-balances regardless of file layout; a cached
+        # frame inherits whatever layout it was persisted with — the
+        # engine's own caches are balanced before persist (builder.py)
+        # and re-exchanging a cache would double its footprint
+        if "Exchange" in planned or "InMemoryTableScan" in planned:
+            return df
+    except Exception:
+        pass
+    info = scan_split_info(df)
+    eff = n_parts if info is None else min(n_parts, info[0])
+    if eff >= n_target:
+        return df
+    if info is not None and info[1] < 64 * n_target:
+        return df
+    return df.repartition(int(n_target))
+
+
 def laplacian_from_parquet(spark, path: str) -> np.ndarray:
     """Reopen a saved F×F Laplacian (schema [row_idx long, row
     array<double>]) as a dense float64 matrix via the Arrow columnar

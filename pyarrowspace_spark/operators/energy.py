@@ -112,56 +112,41 @@ def diffuse_plan(n_items: int, nf: int, n_sym_edges: int,
     }
 
 
-def _make_sum_mapper(fp32_msgs: bool, id_col: str):
+def _make_sum_kernel(fp32_msgs: bool, id_col: str):
     """Per-destination message-sum kernel shared by the full-width and
-    feature-chunked step variants, in mapInPandas form over a
-    dst-hash-repartitioned message frame. fp32 messages stay fp32
-    through the segment matvec (half the stack memory + 2x gemv
-    bandwidth); the fp64 path is exact.
+    feature-chunked step variants. fp32 messages stay fp32 through the
+    segment matvec (half the stack memory + 2x gemv bandwidth); the
+    fp64 path is exact.
 
-    Why mapInPandas and not groupBy(_g).applyInPandas (the r10-r12
-    shape): FlatMapGroupsInPandas requires a JVM SORT of its input by
-    the grouping key within every partition — over the E·F
-    array-carrying message rows that sort was a full extra pass over
-    the step's biggest dataset (measured in the r13-opt stage table:
-    the sum stage ran 793 task-sec, only 179 of them CPU, per step at
-    the 78k bench). repartition(dst) gives the same co-location
-    guarantee (every dst's messages in one partition) with a plain
-    hash exchange and no sort; the kernel does its own argsort over
-    int64 keys, which it already did anyway."""
+    Measured negative result (r13-opt, kept so it isn't re-tried): a
+    repartition(dst)+mapInPandas formulation — motivated by
+    FlatMapGroupsInPandas's JVM sort of its input — measured 981
+    task-sec (at the size-formula partition count; the many-way
+    exchange compresses worse, 3.50 vs 2.19 GB written) and 1660
+    task-sec (at 32 partitions; per-task Python materialization of
+    ~145 MB partitions thrashes) vs 171 task-sec for THIS shape on
+    identical persisted inputs (scripts/probe_diffuse_exchange.py).
+    The grouped-map sort is cheap at these row widths; the real cost
+    of a diffusion step sits in the update join downstream."""
 
-    def mapper(batches):
+    def _sum_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         mdt = np.float32 if fp32_msgs else np.float64
-        Ms, ws, ds = [], [], []
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            Ms.append(np.stack(pdf["_xf"].to_numpy()).astype(
-                mdt, copy=False))
-            ws.append(pdf["weight"].to_numpy(mdt))
-            ds.append(pdf["dst"].to_numpy(np.int64))
-        if not Ms:
-            return
-        M = np.vstack(Ms) if len(Ms) > 1 else Ms[0]
-        w = np.concatenate(ws) if len(ws) > 1 else ws[0]
-        dstv = np.concatenate(ds) if len(ds) > 1 else ds[0]
-        del Ms, ws, ds
+        M = np.stack(pdf["_xf"].to_numpy()).astype(mdt, copy=False)
+        w = pdf["weight"].to_numpy(mdt)
+        dstv = pdf["dst"].to_numpy(np.int64)
         order = np.argsort(dstv, kind="stable")
         dsts, starts = np.unique(dstv[order], return_index=True)
-        Msrt, wsrt = M[order], w[order]
-        del M, w
+        Ms, ws = M[order], w[order]
         bnds = np.append(starts, len(dstv))
         # fused matvec per segment — see _diffuse_driver for why this
         # beats np.add.reduceat(…, axis=0) on wide C-ordered rows
-        nsum = np.empty((len(dsts), Msrt.shape[1]))
+        nsum = np.empty((len(dsts), M.shape[1]))
         for i in range(len(dsts)):
             s, e = bnds[i], bnds[i + 1]
-            nsum[i] = wsrt[s:e] @ Msrt[s:e]
-        for i0 in range(0, len(dsts), 4096):
-            yield pd.DataFrame({id_col: dsts[i0:i0 + 4096],
-                                "_nsum": list(nsum[i0:i0 + 4096])})
+            nsum[i] = ws[s:e] @ Ms[s:e]
+        return pd.DataFrame({id_col: dsts, "_nsum": list(nsum)})
 
-    return mapper
+    return _sum_kernel
 
 
 def _diffusion_step_chunked(
@@ -199,7 +184,7 @@ def _diffusion_step_chunked(
     k = max(1, min(int(feat_chunks), int(nf)))
     bounds = [round(i * nf / k) for i in range(k + 1)]
     base = items.select(id_col, feat_col)
-    kernel = _make_sum_mapper(fp32_msgs, id_col)
+    kernel = _make_sum_kernel(fp32_msgs, id_col)
     parts: list[DataFrame] = []
     for ci in range(k):
         a, b = bounds[ci], bounds[ci + 1]
@@ -210,8 +195,12 @@ def _diffusion_step_chunked(
             base.select(F.col(id_col).alias("src"), xfc.alias("_xf")),
             "src",
         ).select("dst", "weight", "_xf")
-        nsum = msgs.repartition(int(n_groups), "dst").mapInPandas(
-            kernel, f"{id_col} long, _nsum array<double>")
+        nsum = (
+            msgs.withColumn(
+                "_g", F.pmod(F.xxhash64("dst"), F.lit(int(n_groups))))
+            .groupBy("_g")
+            .applyInPandas(kernel, f"{id_col} long, _nsum array<double>")
+        )
         scale = F.lit(1.0) - F.lit(eta) * F.coalesce("_deg", F.lit(0.0))
         filled = F.coalesce("_nsum", F.array_repeat(F.lit(0.0), b - a))
         part = (
@@ -349,9 +338,12 @@ def diffusion_step(
         "src",
     ).select("dst", "weight", "_xf")
 
-    nsum = msgs.repartition(int(n_groups), "dst").mapInPandas(
-        _make_sum_mapper(fp32_msgs, id_col),
-        f"{id_col} long, _nsum array<double>")
+    nsum = (
+        msgs.withColumn("_g", F.pmod(F.xxhash64("dst"), F.lit(int(n_groups))))
+        .groupBy("_g")
+        .applyInPandas(_make_sum_kernel(fp32_msgs, id_col),
+                       f"{id_col} long, _nsum array<double>")
+    )
     scale = F.lit(1.0) - F.lit(eta) * F.coalesce("_deg", F.lit(0.0))
     filled = F.coalesce(
         "_nsum", F.array_repeat(F.lit(0.0), F.size(feat_col)))
@@ -753,6 +745,11 @@ def build_energy(
     one corpus runs the expensive graph build once, not twice."""
     base = items.select(F.col(id_col).alias("item_id"),
                         F.col(feat_col).alias("features"))
+    # same single-row-group scan-parallelism guard as the standard
+    # builder (see builder.py): without it every corpus pass below
+    # runs on one task when the input parquet is unsplittable
+    base = matrix_mod.with_scan_parallelism(base, int(
+        items.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")))
     if gparams.normalise:
         # P1 unit-norm pre-normalization, mirroring the standard
         # builder (builder.py): extend_energy normalises appended

@@ -74,6 +74,155 @@ LSH_PAIR_SPOOL_BYTES = 7.5
 #: on the driver covers every non-adversarial corpus to ~10^10 rows.
 LSH_CENSUS_COLLECT_MAX = 65536
 
+#: Row ceiling for the narrow-shuffle LSH plan (the unit-vector spool
+#: is N·F float32 on the shared scratch — the same ceiling class as
+#: the λ-gather's X spool). Beyond it the legacy vector-shuffle plan
+#: runs. Env override: SPARK_GRAFT_LSH_SPOOL_MAX_ROWS.
+LSH_SPOOL_MAX_ROWS = int(os.environ.get(
+    "SPARK_GRAFT_LSH_SPOOL_MAX_ROWS", str(4_000_000)))
+
+# worker-side (pid-scoped) cache of the most recent U spool mmap: the
+# bucket kernel is called once per (band, key) group — thousands of
+# times per build — and re-reading sids.npy per call would re-page
+# ~N·8 B each time. One entry only; a new build's spool path evicts
+# the old.
+_WORKER_U_SPOOL_CACHE: dict = {}
+
+
+def _load_u_spool(u_path: str, s_path: str):
+    key = (u_path, os.getpid())
+    ent = _WORKER_U_SPOOL_CACHE.get(key)
+    if ent is None:
+        ent = (np.load(u_path, mmap_mode="r"), np.load(s_path))
+        _WORKER_U_SPOOL_CACHE.clear()
+        _WORKER_U_SPOOL_CACHE[key] = ent
+    return ent
+
+
+def _normalize_f32(X) -> np.ndarray:
+    """EXACTLY the unit-normalization the hash pass applies (float32
+    stack → float32 norms → divide): the spool and the per-batch
+    worker path must produce bit-identical U so keys and distances
+    are unchanged by WHERE the vector came from."""
+    X32 = np.asarray(X, dtype=np.float32)
+    norms = np.linalg.norm(X32, axis=1)
+    norms[norms == 0.0] = 1.0
+    return X32 / norms[:, None]
+
+
+def _stream_u_spool_from_parquet(x_source: dict, n: int, fdim: int,
+                                 u_path: str):
+    """Stream the corpus parquet into an id-sorted float32 UNIT-vector
+    spool (the LSH twin of lambda_index._stream_spool_from_parquet —
+    same chunked scatter, plus the per-batch `_normalize_f32`).
+    Returns sorted ids on success, None on any mismatch."""
+    import pyarrow.parquet as pq
+
+    idc, fc = x_source["id_col"], x_source["feat_col"]
+    try:
+        ids_parts = []
+        for f in x_source["files"]:
+            ids_parts.append(
+                pq.read_table(f, columns=[idc])[idc]
+                .to_numpy(zero_copy_only=False))
+        ids_arr = np.concatenate(ids_parts).astype(np.int64, copy=False)
+        if len(ids_arr) != n:
+            return None
+        s_ids = np.sort(ids_arr)
+        if s_ids.size > 1 and np.any(s_ids[1:] == s_ids[:-1]):
+            return None
+        U = np.lib.format.open_memmap(
+            u_path, mode="w+", dtype=np.float32, shape=(n, fdim))
+        total = 0
+        for f in x_source["files"]:
+            pf = pq.ParquetFile(f)
+            for batch in pf.iter_batches(batch_size=16384,
+                                         columns=[idc, fc]):
+                bids = (batch.column(batch.schema.get_field_index(idc))
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64, copy=False))
+                fcol = batch.column(batch.schema.get_field_index(fc))
+                vals = fcol.flatten().to_numpy(zero_copy_only=False)
+                if vals.size != len(bids) * fdim:
+                    return None
+                pos = np.searchsorted(s_ids, bids)
+                U[pos] = _normalize_f32(vals.reshape(len(bids), fdim))
+                total += len(bids)
+        if total != n:
+            return None
+        U.flush()
+        del U
+        return s_ids
+    except Exception:
+        return None
+
+
+def _build_u_spool(items: DataFrame, id_col: str, feat_col: str,
+                   n: int, fdim: int,
+                   x_source: dict | None) -> "tuple[str, str] | None":
+    """Create the id-sorted float32 unit-vector spool that lets the
+    LSH pair stage shuffle NARROW (band, key, id) rows and gather
+    vectors bucket-locally from one shared page-cache copy (guide §8:
+    shuffle keys, not payloads). None ⇒ caller uses the legacy
+    vector-shuffle plan (no worker-visible scratch, corpus too big to
+    spool, or SPARK_GRAFT_LSH_SHUFFLE=vector)."""
+    from ..functions import matrix as matrix_mod
+    from .lambda_index import _probe_worker_visible, _spool_modes
+
+    if os.environ.get("SPARK_GRAFT_LSH_SHUFFLE", "auto").lower() == "vector":
+        return None
+    if n > LSH_SPOOL_MAX_ROWS:
+        return None
+    spark = items.sparkSession
+    scratch_env = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+    master_local = spark.sparkContext.master.startswith("local")
+    if scratch_env and not master_local:
+        mmap_ok = _probe_worker_visible(spark, scratch_env)
+    else:
+        mmap_ok = bool(scratch_env) or master_local
+    if not mmap_ok:
+        return None
+    d = tempfile.mkdtemp(prefix="pyarrowspace-lshu-",
+                         dir=scratch_env or None)
+    matrix_mod._SCRATCH_DIRS.append(d)
+    u_path = os.path.join(d, "u.npy")
+    s_ids = None
+    if x_source:
+        s_ids = _stream_u_spool_from_parquet(x_source, n, fdim, u_path)
+        if s_ids is None:
+            try:
+                os.remove(u_path)
+            except OSError:
+                pass
+    if s_ids is None:
+        if not matrix_mod.collect_eligible(spark, n * fdim * 8):
+            matrix_mod._SCRATCH_DIRS.remove(d)
+            shutil.rmtree(d, ignore_errors=True)
+            return None
+        ids_arr, X = matrix_mod.collect_id_matrix(items, id_col, feat_col)
+        perm = np.argsort(ids_arr, kind="stable")
+        s_ids = ids_arr[perm]
+        np.save(u_path, _normalize_f32(X[perm]))
+        del X
+    s_path = os.path.join(d, "sids.npy")
+    np.save(s_path, s_ids)
+    dmode, fmode = _spool_modes()
+    os.chmod(d, dmode)
+    for fn in os.listdir(d):
+        os.chmod(os.path.join(d, fn), fmode)
+    return u_path, s_path
+
+
+def _drop_u_spool(spool: "tuple[str, str] | None") -> None:
+    if not spool:
+        return
+    from ..functions import matrix as matrix_mod
+
+    d = os.path.dirname(spool[0])
+    shutil.rmtree(d, ignore_errors=True)
+    if d in matrix_mod._SCRATCH_DIRS:
+        matrix_mod._SCRATCH_DIRS.remove(d)
+
 
 def _scratch_probe_dir(spark) -> str:
     """Filesystem the grouped build's disk budget must watch: where
@@ -285,16 +434,17 @@ def _knn_directed_broadcast_scan(
                         "dist": np.concatenate(out_v),
                     })
 
-    # Spread the gemm across cores: a single-file parquet scan arrives
-    # as ONE partition, which would serialize the whole N×N scan on one
+    # Spread the gemm across cores: a single-file (or single-ROW-GROUP
+    # — see matrix.scan_split_info) parquet scan arrives effectively
+    # as ONE task, which would serialize the whole N×N scan on one
     # Python worker.
-    src = items.select(id_col, feat_col)
+    from ..functions.matrix import with_scan_parallelism
+
     target = min(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
         max(1, len(ids) // 256),
     )
-    if src.rdd.getNumPartitions() < target:
-        src = src.repartition(target)
+    src = with_scan_parallelism(items.select(id_col, feat_col), target)
     return src.mapInPandas(scan, schema=schema)
 
 
@@ -377,8 +527,10 @@ def lsh_group_summary() -> dict | None:
     """Measured record of the MOST RECENT grouped LSH pair stage in
     this process: group count, total/max pair-spool bytes, total wall
     seconds, and peak per-stage shuffle-write/spill bytes (when the UI
-    REST API was reachable). None when the last build ran single-stage
-    (ungrouped) or no LSH build has run. Successor to reading the
+    REST API was reachable). None when the last build ran the legacy
+    single-stage (ungrouped) vector-shuffle plan, the exact strategy,
+    or no LSH build has run; the narrow-shuffle plan (r13-opt) always
+    spools per group — a normal build shows one group here. Successor to reading the
     `_LAST_LSH_GROUP_INFO` breadcrumb directly (r11 verdict finding 2);
     the raw per-group records stay available for measurement harnesses
     as the ``groups`` key."""
@@ -417,6 +569,7 @@ def _pairwise_candidates_lsh(
     seed: int = 42,
     n_items: int | None = None,
     bucket_max: int | None = None,
+    x_source: dict | None = None,
 ) -> DataFrame:
     """Bucketed candidate pairs within the cosine eps-ball via
     sign-random-projection band LSH.
@@ -467,12 +620,35 @@ def _pairwise_candidates_lsh(
     weights = (1 << np.arange(n_bits, dtype=np.int64))
     nb, bits = int(n_bands), int(n_bits)
 
-    hash_schema = StructType([
-        StructField("band", IntegerType(), False),
-        StructField("key", LongType(), False),
-        StructField("id", LongType(), False),
-        StructField("uvec", ArrayType(FloatType(), False), False),
-    ])
+    # Narrow-shuffle plan (r13-opt, guide §8 "shuffle keys and
+    # metadata instead of payloads"): where a worker-visible scratch
+    # exists and the corpus fits the spool ceiling, the unit vectors
+    # are spooled ONCE (id-sorted float32, one shared page-cache copy)
+    # and the pair stage shuffles only (band, key, id) rows — ~28 B
+    # instead of F·4+48 B per row (at N=2M, 39 bands: ~2.3 GB instead
+    # of ~95 GB through the exchange). The bucket kernel gathers its
+    # few-hundred rows from the mmap; U bits are identical to the
+    # shuffled-uvec values (`_normalize_f32` is the same op sequence
+    # the hash pass applies), so every emitted pair is unchanged.
+    # `lsh_plan`'s band_shuffle_bytes continues to describe the
+    # PORTABLE fallback plan (the oracle replays that formula).
+    u_spool = _build_u_spool(items, id_col, feat_col, n_items, fdim,
+                             x_source)
+    narrow = u_spool is not None
+
+    if narrow:
+        hash_schema = StructType([
+            StructField("band", IntegerType(), False),
+            StructField("key", LongType(), False),
+            StructField("id", LongType(), False),
+        ])
+    else:
+        hash_schema = StructType([
+            StructField("band", IntegerType(), False),
+            StructField("key", LongType(), False),
+            StructField("id", LongType(), False),
+            StructField("uvec", ArrayType(FloatType(), False), False),
+        ])
 
     def make_hash_bands(band_subset=None):
         """Arrow hash-pass emitter, optionally restricted to a band
@@ -502,21 +678,20 @@ def _pairwise_candidates_lsh(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                X = np.stack(pdf[feat_col].to_numpy()).astype(np.float32)
-                norms = np.linalg.norm(X, axis=1)
-                norms[norms == 0.0] = 1.0
-                U = X / norms[:, None]
+                U = _normalize_f32(
+                    np.stack(pdf[feat_col].to_numpy()).astype(np.float32))
                 signs = (U @ Rg) >= 0.0                 # B × (g·bits)
                 keys = (signs.reshape(len(U), g, bits).astype(np.int64)
                         @ weights)
                 ids = pdf[id_col].to_numpy(dtype=np.int64)
-                uv = list(U)
-                yield pd.DataFrame({
+                out = {
                     "band": np.repeat(gbands, len(U)),
                     "key": keys.T.ravel(),
                     "id": np.tile(ids, g),
-                    "uvec": uv * g,
-                })
+                }
+                if not narrow:
+                    out["uvec"] = list(U) * g
+                yield pd.DataFrame(out)
 
         return hash_bands
 
@@ -530,11 +705,18 @@ def _pairwise_candidates_lsh(
     # engages (single-file corpora ≲1M rows) the extra exchange is
     # seconds against a ~100 s/group saving, and beyond that the scan
     # already yields ≥ cores splits so this is a no-op.
-    hash_src = items.select(id_col, feat_col)
-    n_cores = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if hash_src.rdd.getNumPartitions() < n_cores:
-        hash_src = hash_src.repartition(n_cores)
+    from ..functions.matrix import with_scan_parallelism
+
+    hash_src = with_scan_parallelism(
+        items.select(id_col, feat_col),
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
     hashed = hash_src.mapInPandas(make_hash_bands(), schema=hash_schema)
+    if narrow:
+        # ~28 B/row: cache the full (band, key, id) table once — the
+        # census AND every band group read it, so the corpus is hashed
+        # exactly ONCE per build (the legacy path re-hashes per band
+        # group and runs a separate keys-only census pass).
+        hashed = hashed.persist()
 
     pair_schema = StructType([
         StructField("src", LongType(), False),
@@ -544,13 +726,14 @@ def _pairwise_candidates_lsh(
     eps_f = float(eps)
     k_i = int(k) if k is not None else 0
 
+    u_paths = u_spool if narrow else None
+
     def bucket_knn(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({"src": [], "dst": [], "dist": []}).astype(
                 {"src": np.int64, "dst": np.int64, "dist": np.float64})
         ids = pdf["id"].to_numpy(dtype=np.int64)
-        U = np.stack(pdf["uvec"].to_numpy())
         # Sort the bucket by id so that equal-distance ties resolve to
         # the LOWER dst by plain stable ordering — the vectorized
         # selection below then matches the reference tie-break
@@ -564,7 +747,19 @@ def _pairwise_candidates_lsh(
         # identical.
         order0 = np.argsort(ids, kind="stable")
         ids = ids[order0]
-        U = U[order0]
+        if u_paths is not None:
+            # narrow plan: gather this bucket's unit vectors from the
+            # shared spool (ascending positions — the ids were just
+            # sorted — so the mmap walk is monotonic)
+            Usp, s_l = _load_u_spool(*u_paths)
+            pos = np.searchsorted(s_l, ids)
+            if pos[-1] >= len(s_l) or not np.array_equal(s_l[pos], ids):
+                raise RuntimeError(
+                    "LSH U-spool does not cover this bucket's ids — "
+                    "stale spool or corpus mismatch")
+            U = np.asarray(Usp[pos])
+        else:
+            U = np.stack(pdf["uvec"].to_numpy())[order0]
         out_s, out_d, out_v = [], [], []
         # Chunk rows so the chunk×n distance block stays bounded even
         # in a pathologically skewed bucket.
@@ -639,10 +834,18 @@ def _pairwise_candidates_lsh(
                 "key": keys.T.ravel(),
             })
 
-    sizes = (
-        hash_src.mapInPandas(hash_keys_only, schema=count_schema)
-        .groupBy("band", "key").agg(F.count("*").alias("_cnt"))
-    )
+    if narrow:
+        # the persisted narrow hash table IS the census source: one
+        # hash pass total instead of a dedicated keys-only pass (the
+        # count agg projects (band, key) out of the cache and combines
+        # map-side)
+        sizes = hashed.groupBy("band", "key").agg(
+            F.count("*").alias("_cnt"))
+    else:
+        sizes = (
+            hash_src.mapInPandas(hash_keys_only, schema=count_schema)
+            .groupBy("band", "key").agg(F.count("*").alias("_cnt"))
+        )
     # Collect the census ONCE and re-broadcast it as a local frame:
     # `oversized` is joined inside _group_pairs, so as a lazy plan the
     # full-corpus hash_keys_only pass AND its (map-side combined)
@@ -681,7 +884,11 @@ def _pairwise_candidates_lsh(
     # SPARK_GRAFT_LSH_GROUP_BYTES (suffix-aware, e.g. "12g").
     from ..functions.matrix import parse_size_bytes
 
-    est_bytes = n_items * nb * (fdim * 4 + 48)
+    # per-row shuffle width: narrow (band,key,id) rows vs full
+    # uvec-carrying rows — the grouping exists to bound scratch disk,
+    # so it must price what actually crosses the exchange
+    row_bytes = 28 if narrow else (fdim * 4 + 48)
+    est_bytes = n_items * nb * row_bytes
     group_budget = parse_size_bytes(
         os.environ.get("SPARK_GRAFT_LSH_GROUP_BYTES", str(8 << 30)),
         default=8 << 30)
@@ -709,13 +916,14 @@ def _pairwise_candidates_lsh(
                 )),
             )
             .select("band", "key", F.col("_bp.b1").alias("b1"),
-                    F.col("_bp.b2").alias("b2"), "id", "uvec")
+                    F.col("_bp.b2").alias("b2"), "id",
+                    *([] if narrow else ["uvec"]))
             .groupBy("band", "key", "b1", "b2")
             .applyInPandas(bucket_knn, schema=pair_schema)
         )
         return bucket_pairs.unionAll(big_pairs)
 
-    if n_band_groups <= 1:
+    if n_band_groups <= 1 and not narrow:
         bucket_pairs = _group_pairs(hashed)
     else:
         from ..functions import matrix as matrix_mod
@@ -752,6 +960,8 @@ def _pairwise_candidates_lsh(
                                          schema=hash_schema)
                 ).localCheckpoint(eager=True))
                 spark.sparkContext._jvm.System.gc()
+            # (narrow mode never lands here: the U spool implies the
+            # shared-scratch condition `spool` tests)
         else:
             # ADAPTIVE group sizing against the MEASURED disk. The
             # round-10 static model sized groups from each group's own
@@ -774,7 +984,7 @@ def _pairwise_candidates_lsh(
             # path; the 313k/800k anchors keep their committed plans
             # on a healthy disk).
             probe = _scratch_probe_dir(spark)
-            band_bytes = n_items * (fdim * 4 + 48)
+            band_bytes = n_items * row_bytes
             est_k = k_i if k_i else 64
             # Spool projection UNIT: per GROUP when the per-src k-cap
             # below runs (the cap bounds a group's spool at N·k rows
@@ -855,13 +1065,20 @@ def _pairwise_candidates_lsh(
                 del bands_left[:len(gband)]
                 g_t0 = time.time()
                 sid0 = _max_stage_id(spark)
-                # subset-hash: this group's pass gemms, emits, and
-                # exchanges ONLY its own bands' rows (see
-                # make_hash_bands) — keys bit-identical to the
-                # full-width pass
-                pairs_g = _group_pairs(
-                    hash_src.mapInPandas(make_hash_bands(gband),
-                                         schema=hash_schema))
+                if narrow:
+                    # the persisted narrow hash table covers every
+                    # band: a group is a cache filter — no per-group
+                    # corpus re-hash, no per-group gemm
+                    pairs_g = _group_pairs(hashed.filter(
+                        F.col("band").isin([int(b) for b in gband])))
+                else:
+                    # subset-hash: this group's pass gemms, emits, and
+                    # exchanges ONLY its own bands' rows (see
+                    # make_hash_bands) — keys bit-identical to the
+                    # full-width pass
+                    pairs_g = _group_pairs(
+                        hash_src.mapInPandas(make_hash_bands(gband),
+                                             schema=hash_schema))
                 if k_i:
                     # Per-src k-cap + dedupe BEFORE spooling: lossless
                     # for the global top-k (a pair crowded out by k
@@ -878,8 +1095,19 @@ def _pairwise_candidates_lsh(
                     # keeps the per-group sort partial.
                     wg = Window.partitionBy("src").orderBy(
                         F.col("dist").asc(), F.col("dst").asc())
+                    # ONE explicit exchange on src feeds BOTH the
+                    # dedupe agg (hash(src) satisfies the (src,dst)
+                    # clustering — subset rule) and the window — and,
+                    # being user-specified, AQE cannot coalesce it:
+                    # the k-capped pairs compress to a few MB, and
+                    # AQE's 1 MB-min coalescing ran this sort+spool
+                    # write on 5 tasks (12 s each) at the 78k bench
+                    # (r13-opt jobs timeline, jid 12).
+                    n_parts_w = int(spark.conf.get(
+                        "spark.sql.shuffle.partitions", "32"))
                     pairs_g = (
-                        pairs_g.groupBy("src", "dst")
+                        pairs_g.repartition(n_parts_w, "src")
+                        .groupBy("src", "dst")
                         .agg(F.min("dist").alias("dist"))
                         .withColumn("_rn", F.row_number().over(wg))
                         .filter(F.col("_rn") <= F.lit(k_i)).drop("_rn"))
@@ -911,13 +1139,25 @@ def _pairwise_candidates_lsh(
                 except OSError:
                     pass
                 spark.sparkContext._jvm.System.gc()
+        if narrow:
+            # every group's pairs are spooled parquet now — the hash
+            # cache and the U spool are dead; release both
+            # deterministically instead of at session exit
+            hashed.unpersist()
+            _drop_u_spool(u_spool)
         bucket_pairs = parts[0]
         for p in parts[1:]:
             bucket_pairs = bucket_pairs.unionAll(p)
     # Dedupe across bands; min() is a no-op on value (the distance is
     # the same pair function in every band) but makes the agg
-    # map-side combinable.
-    return bucket_pairs.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
+    # map-side combinable. The explicit src repartition serves this
+    # agg (subset rule), the eps filter, AND knn_edges' top-k window
+    # downstream with ONE exchange AQE cannot shrink — the deduped
+    # pairs compress to a few MB and AQE-coalesced window sorts ran
+    # on a handful of tasks otherwise (see the grouped-loop note).
+    n_parts_f = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (bucket_pairs.repartition(n_parts_f, "src")
+            .groupBy("src", "dst").agg(F.min("dist").alias("dist")))
 
 
 def knn_edges(
@@ -929,6 +1169,7 @@ def knn_edges(
     lsh_bits: int | None = None,
     lsh_bands: int | None = None,
     n_rows: int | None = None,
+    x_source: dict | None = None,
 ) -> DataFrame:
     """Build the symmetrized, weighted kNN edge list.
 
@@ -962,7 +1203,7 @@ def knn_edges(
         elif strategy == "lsh":
             cand = _pairwise_candidates_lsh(
                 items, id_col, feat_col, params.eps, k=params.k,
-                n_bits=lsh_bits, n_bands=lsh_bands,
+                n_bits=lsh_bits, n_bands=lsh_bands, x_source=x_source,
             )
         else:
             raise ValueError(f"unknown strategy {strategy!r}")

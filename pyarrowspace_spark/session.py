@@ -99,6 +99,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Measured negative result (r13-opt, kept so it isn't
+        # re-tried): enabling AQE's SMJ→shuffled-hash conversion
+        # (maxShuffledHashJoinLocalMapThreshold=64m) made the
+        # diffusion step SLOWER — the sort-merge join's sort is
+        # accidentally load-bearing for shuffle compression (it
+        # clusters the ~k duplicate copies of each source's feature
+        # array adjacently, and zstd collapses the runs: the message
+        # exchange grew 2.09 → 3.52 GB without it) and the update
+        # join's checkpoint stage tripled its task-seconds building
+        # hash maps of 3 KB array rows. Sort-merge stays the default.
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

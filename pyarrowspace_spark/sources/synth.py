@@ -79,7 +79,14 @@ def ensure_clustered_corpus(
             })
             if writer is None:
                 writer = pq.ParquetWriter(tmp_path, tbl.schema)
-            writer.write_table(tbl)
+            # 2048-row row groups (~6 MB at F=384): a row group is
+            # Spark's real unit of scan parallelism, and the old
+            # whole-block groups (100k rows ≈ 300 MB) made the corpus
+            # effectively unsplittable — every scan-fed stage ran on
+            # ONE task (r13-opt; values are unchanged, only the
+            # layout). 2048 keeps ≥32 groups from N≈66k up, so the
+            # bench scan parallelizes without even a repartition.
+            writer.write_table(tbl, row_group_size=2048)
         if writer is not None:
             writer.close()
             writer = None

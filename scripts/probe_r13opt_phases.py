@@ -20,8 +20,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("OMP_NUM_THREADS", "1")
-os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+# match bench.py's BLAS policy: full-width driver pool (serial-phase
+# kernels — diag gemm, Lloyd, driver diffusion), workers pinned to 1
+# via spark.executorEnv below
+_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+os.environ.setdefault("OMP_NUM_THREADS", _CPUS)
+os.environ.setdefault("OPENBLAS_NUM_THREADS", _CPUS)
 
 import numpy as np
 
@@ -180,7 +184,41 @@ def main() -> None:
         hashed, bidx.feature_laplacian, qdf50, tau=0.62, k=15,
         planes=planes))
 
-    out = {"n": n, "timers": timers, "stages": stages_full(spark)[:48]}
+    # jobs timeline: gaps between consecutive job completions localize
+    # DRIVER-side time (planning, collects assembling, spool streaming)
+    import urllib.request
+    from datetime import datetime, timezone
+
+    def _ts(s):
+        return datetime.strptime(
+            s.replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f"
+        ).replace(tzinfo=timezone.utc).timestamp()
+
+    url = spark.sparkContext.uiWebUrl
+    app = json.load(urllib.request.urlopen(f"{url}/api/v1/applications"))
+    jobs = json.load(urllib.request.urlopen(
+        f"{url}/api/v1/applications/{app[0]['id']}/jobs?status=succeeded"))
+    jrows = []
+    for j in sorted(jobs, key=lambda j: j["jobId"]):
+        try:
+            jrows.append({
+                "jid": j["jobId"],
+                "t0": _ts(j["submissionTime"]),
+                "t1": _ts(j["completionTime"]),
+                "desc": (j.get("description") or j.get("name") or "")[:80],
+            })
+        except Exception:
+            pass
+    timeline = []
+    prev_end = None
+    for j in jrows:
+        gap = round(j["t0"] - prev_end, 2) if prev_end is not None else 0.0
+        timeline.append({"jid": j["jid"], "gap_before": gap,
+                         "wall": round(j["t1"] - j["t0"], 2),
+                         "desc": j["desc"]})
+        prev_end = j["t1"]
+    out = {"n": n, "timers": timers, "stages": stages_full(spark)[:48],
+           "jobs": timeline}
     with open("/tmp/r13opt_phases.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(timers, indent=1))

@@ -237,9 +237,10 @@ def test_band_group_sequencing_identical_edges(spark, monkeypatch):
                         lsh_bands=24)
     rows_one = {(r["src"], r["dst"], round(r["dist"], 12))
                 for r in one.collect()}
-    # force ~4 band groups for the same build
+    # force ~4 band groups for the same build (r13-opt: priced at the
+    # narrow-shuffle ~28 B/row — 500 rows × 24 bands × 28 B / 4)
     monkeypatch.setenv("SPARK_GRAFT_LSH_GROUP_BYTES",
-                       str(500 * 64 * 4 * 24 // 4))
+                       str(500 * 28 * 24 // 4))
     grouped = KNN.knn_edges(items, params, strategy="lsh", lsh_bits=3,
                             lsh_bands=24)
     rows_grp = {(r["src"], r["dst"], round(r["dist"], 12))

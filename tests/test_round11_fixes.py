@@ -63,7 +63,9 @@ def test_lsh_adaptive_groups_match_single_stage(spark, sf_items,
     single = {(r["src"], r["dst"]): r["dist"] for r in knn_ops.knn_edges(
         sf_items, gp, strategy="lsh").select(
         "src", "dst", "dist").collect()}
-    monkeypatch.setenv("SPARK_GRAFT_LSH_GROUP_BYTES", "256k")
+    # r13-opt: the narrow-shuffle plan prices ~28 B/row, so the budget
+    # that used to force several groups must shrink with it
+    monkeypatch.setenv("SPARK_GRAFT_LSH_GROUP_BYTES", "64k")
     grouped = {(r["src"], r["dst"]): r["dist"] for r in knn_ops.knn_edges(
         sf_items, gp, strategy="lsh").select(
         "src", "dst", "dist").collect()}

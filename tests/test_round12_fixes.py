@@ -62,7 +62,9 @@ def test_group_summary_attached_and_reset(spark, monkeypatch):
     """A grouped LSH build populates lsh_group_summary() and the built
     index's lsh_build_info; a following exact build resets both to
     None (no stale leak across builds — finding 2)."""
-    monkeypatch.setenv("SPARK_GRAFT_LSH_GROUP_BYTES", "300000")
+    # r13-opt: narrow-shuffle rows are ~28 B — a smaller budget keeps
+    # this forcing ≥2 groups under the new row pricing
+    monkeypatch.setenv("SPARK_GRAFT_LSH_GROUP_BYTES", "100000")
     monkeypatch.setenv("SPARK_GRAFT_LSH_MIN_FREE", "1000000")
     items = _small_corpus(spark)
     gp = GraphParams(eps=0.35, k=6, topk=6, p=2.0, sigma=0.2)
