@@ -24,7 +24,10 @@ spec gap); formulas here are pinned by our own golden tests.
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
+import tempfile
 import time
 from dataclasses import dataclass
 
@@ -147,6 +150,394 @@ def _make_sum_kernel(fp32_msgs: bool, id_col: str):
         return pd.DataFrame({id_col: dsts, "_nsum": list(nsum)})
 
     return _sum_kernel
+
+
+#: Row ceiling for the narrow-shuffle diffusion plan: the iterate
+#: spool is N·F float64 on the shared scratch (twice the λ-gather /
+#: LSH spool byte class, since the iterate must stay exact fp64).
+#: Beyond it the legacy array-message plan runs. Env override:
+#: SPARK_GRAFT_DIFFUSE_SPOOL_MAX_ROWS.
+DIFFUSE_SPOOL_MAX_ROWS = int(os.environ.get(
+    "SPARK_GRAFT_DIFFUSE_SPOOL_MAX_ROWS", str(4_000_000)))
+
+# worker-side (pid-scoped) cache of the current step's X-spool mmap —
+# same single-entry policy as knn._WORKER_U_SPOOL_CACHE: each step's
+# spool path evicts the previous step's.
+_WORKER_X_SPOOL_CACHE: dict = {}
+
+
+def _load_x_spool(x_path: str, s_path: str):
+    key = (x_path, os.getpid())
+    ent = _WORKER_X_SPOOL_CACHE.get(key)
+    if ent is None:
+        ent = (np.load(x_path, mmap_mode="r"), np.load(s_path))
+        _WORKER_X_SPOOL_CACHE.clear()
+        _WORKER_X_SPOOL_CACHE[key] = ent
+    return ent
+
+
+def _make_spool_write_kernel(x_path: str, s_path: str, id_col: str,
+                             feat_col: str):
+    """mapInPandas kernel that scatters its rows of (id, features)
+    into the pre-allocated id-sorted spool at `x_path` and emits only
+    a per-partition row count. Single-host masters only (the writers
+    and the next step's readers share one page cache, so no msync is
+    needed and coherence is the kernel's); on retry/speculation the
+    re-write is byte-identical, hence idempotent."""
+
+    def kernel(batches):
+        X = np.load(x_path, mmap_mode="r+")
+        s_ids = np.load(s_path)
+        wrote = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bids = pdf[id_col].to_numpy(np.int64)
+            vals = np.stack(pdf[feat_col].to_numpy()).astype(
+                np.float64, copy=False)
+            pos = np.searchsorted(s_ids, bids)
+            if (pos.max(initial=0) >= len(s_ids)
+                    or not np.array_equal(s_ids[pos], bids)):
+                raise RuntimeError(
+                    "diffusion seed spool: ids not covered by the "
+                    "collected id index")
+            X[pos] = vals
+            wrote += len(bids)
+        del X
+        yield pd.DataFrame({"cnt": np.array([wrote], dtype=np.int64)})
+
+    return kernel
+
+
+def _make_spool_step_kernel(x_path: str, s_path: str, eta: float,
+                            fp32_msgs: bool, id_col: str, feat_col: str,
+                            out_path: "str | None" = None):
+    """mapInPandas kernel for one narrow-shuffle diffusion step: the
+    partition holds ALL incoming edges of its destinations (narrow
+    (src, dst, weight) rows, hash-partitioned by dst), source rows are
+    gathered from the shared id-sorted X spool, and the kernel emits
+    the fully UPDATED destination rows
+    x' = (1 − η·deg)·x + η·Σ w·x_src — so no update join and no
+    degree aggregation exist in the plan at all (deg is the in-segment
+    fp64 weight sum; the segment holds every incoming edge).
+
+    fp32_msgs reproduces the legacy message arithmetic class: gathered
+    source rows and weights are cast to float32 for the segment matvec
+    (the same IEEE rounding the legacy plan's pre-shuffle
+    cast("array<float>") applied), while x and deg stay fp64.
+
+    `out_path` (single-host masters): write the updated rows straight
+    into the pre-allocated NEXT spool at their id-sorted positions
+    (dpos is ascending — a monotonic mmap walk) and emit only a count,
+    eliminating the per-step parquet write + driver re-spool
+    (measured 28 s of serial driver time per step at the bench)."""
+    eta_f = float(eta)
+
+    def kernel(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(
+            pdfs, ignore_index=True)
+        X, s_ids = _load_x_spool(x_path, s_path)
+        dstv = pdf["dst"].to_numpy(np.int64)
+        # stable: preserves the sortWithinPartitions (dst, src) order,
+        # so within-segment summation order is deterministic
+        order = np.argsort(dstv, kind="stable")
+        dstv = dstv[order]
+        srcv = pdf["src"].to_numpy(np.int64)[order]
+        w = pdf["weight"].to_numpy(np.float64)[order]
+        udst, starts = np.unique(dstv, return_index=True)
+        bounds = np.append(starts, len(dstv))
+        dpos = np.searchsorted(s_ids, udst)
+        if len(udst) and (dpos[-1] >= len(s_ids)
+                          or not np.array_equal(s_ids[dpos], udst)):
+            raise RuntimeError(
+                "diffusion X spool does not cover this partition's "
+                "destinations — stale spool or corpus mismatch")
+        spos = np.searchsorted(s_ids, srcv)
+        if len(srcv) and (spos.max(initial=0) >= len(s_ids)
+                          or not np.array_equal(s_ids[spos], srcv)):
+            raise RuntimeError(
+                "diffusion X spool does not cover this partition's "
+                "sources — stale spool or corpus mismatch")
+        mdt = np.float32 if fp32_msgs else np.float64
+        out = np.empty((len(udst), X.shape[1]))
+        for i in range(len(udst)):
+            s, e = bounds[i], bounds[i + 1]
+            rows = np.asarray(X[spos[s:e]])
+            msum = w[s:e].astype(mdt, copy=False) @ rows.astype(
+                mdt, copy=False)
+            deg = float(w[s:e].sum())
+            out[i] = ((1.0 - eta_f * deg) * np.asarray(X[dpos[i]])
+                      + eta_f * msum)
+        if out_path is not None:
+            nxt = np.load(out_path, mmap_mode="r+")
+            nxt[dpos] = out
+            del nxt
+            yield pd.DataFrame(
+                {"cnt": np.array([len(udst)], dtype=np.int64)})
+        else:
+            yield pd.DataFrame({id_col: udst, feat_col: list(out)})
+
+    return kernel
+
+
+def _scatter_parquet_to_spool(files: "list[str]", idc: str, fc: str,
+                              s_ids: np.ndarray, fdim: int,
+                              x_path: str) -> int:
+    """Stream (id, array<double>) parquet files into an fp64 spool at
+    id-sorted positions (the diffusion twin of
+    lambda_index._stream_spool_from_parquet — but the ids here are
+    produced by our own kernel, so a mismatch RAISES instead of
+    falling back). Returns rows written."""
+    import pyarrow.parquet as pq
+
+    X = np.lib.format.open_memmap(
+        x_path, mode="w+", dtype=np.float64, shape=(len(s_ids), fdim))
+    total = 0
+    for f in files:
+        pf = pq.ParquetFile(f)
+        for batch in pf.iter_batches(batch_size=8192, columns=[idc, fc]):
+            bids = (batch.column(batch.schema.get_field_index(idc))
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64, copy=False))
+            fcol = batch.column(batch.schema.get_field_index(fc))
+            vals = fcol.flatten().to_numpy(zero_copy_only=False)
+            if vals.size != len(bids) * fdim:
+                raise RuntimeError("ragged diffusion step output")
+            pos = np.searchsorted(s_ids, bids)
+            if len(bids) and (pos.max(initial=0) >= len(s_ids)
+                              or not np.array_equal(s_ids[pos], bids)):
+                raise RuntimeError("diffusion step emitted unknown ids")
+            X[pos] = vals.reshape(len(bids), fdim)
+            total += len(bids)
+    X.flush()
+    del X
+    return total
+
+
+def _diffuse_spool(items: DataFrame, edges: DataFrame, eta: float,
+                   steps: int, id_col: str, feat_col: str, nf: int,
+                   n: int, msg_dtype: str,
+                   step_times: "list[float] | None") -> DataFrame | None:
+    """Narrow-shuffle distributed diffusion (guide §8: shuffle keys
+    and metadata, move heavy bytes once). Where a worker-visible
+    scratch filesystem exists — the same gate and probe as the
+    λ-gather mmap tier and the narrow-shuffle LSH plan — the iterate
+    X_t lives in ONE id-sorted fp64 spool per step, the loop-invariant
+    edge list is persisted pre-partitioned by dst, and each step is a
+    single exchange-free job: gather sources from the shared mmap,
+    emit updated destination rows, re-spool them for the next step.
+
+    Per-step data movement is O(N·F) write + O(N·F) stream (plus
+    page-cache gathers) instead of the legacy plan's E·F array-message
+    shuffle + N·F update join — at the 2M anchor that is ~6 GB of
+    sequential I/O per step in place of ~92 GB of raw fp32 shuffle
+    (which needed feature-chunking to even fit a single-disk host; the
+    spool plan never approaches the chunking budget).
+
+    Returns None when not eligible (no scratch, N above the spool
+    ceiling, scratch too full, duplicate ids, or
+    SPARK_GRAFT_DIFFUSE_PLAN=shuffle) — the caller runs the legacy
+    array-message plan, which remains the portable fallback."""
+    mode = os.environ.get("SPARK_GRAFT_DIFFUSE_PLAN", "auto").lower()
+    if mode in ("shuffle", "legacy", "vector"):
+        return None
+    if n > DIFFUSE_SPOOL_MAX_ROWS:
+        return None
+    from .lambda_index import _probe_worker_visible, _spool_modes
+
+    spark = items.sparkSession
+    scratch_env = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+    master_local = spark.sparkContext.master.startswith("local")
+    if scratch_env and not master_local:
+        mmap_ok = _probe_worker_visible(spark, scratch_env)
+    else:
+        mmap_ok = bool(scratch_env) or master_local
+    if not mmap_ok:
+        return None
+    # budget: two live spools + one step parquet, all ~N·F·8
+    try:
+        free = shutil.disk_usage(
+            scratch_env or tempfile.gettempdir()).free
+    except OSError:
+        return None
+    if free < 3 * n * nf * 8 + (64 << 20):
+        return None
+    ids_arr = (items.select(id_col).toPandas()[id_col]
+               .to_numpy(np.int64))
+    if len(ids_arr) != n:
+        return None
+    s_ids = np.sort(ids_arr)
+    if s_ids.size > 1 and np.any(s_ids[1:] == s_ids[:-1]):
+        return None  # duplicate ids → scatter would corrupt rows
+    d = tempfile.mkdtemp(prefix="pyarrowspace-diffspool-",
+                         dir=scratch_env or None)
+    matrix_mod._SCRATCH_DIRS.append(d)
+    dmode, fmode = _spool_modes()
+    os.chmod(d, dmode)
+    s_path = os.path.join(d, "sids.npy")
+    np.save(s_path, s_ids)
+    os.chmod(s_path, fmode)
+    schema = f"{id_col} long, {feat_col} array<double>"
+    fp32_msgs = str(msg_dtype).lower() in ("float32", "fp32", "f32")
+
+    def _part_files(pdir: str) -> "list[str]":
+        return sorted(glob.glob(os.path.join(pdir, "part-*.parquet")))
+
+    # Spool WRITE mode: on a single-host master (local / local-cluster)
+    # the tasks scatter rows straight into the pre-allocated mmap —
+    # writers and next-step readers share one page cache, so the whole
+    # seed/step materialization is one parallel job with ZERO serial
+    # driver I/O. On multi-host deployments mmap write coherence over
+    # a shared filesystem is not guaranteed, so spools are built by
+    # streaming a task-written parquet on the driver instead.
+    # Env override SPARK_GRAFT_DIFFUSE_SPOOL_WRITE=task|stream.
+    write_mode = os.environ.get(
+        "SPARK_GRAFT_DIFFUSE_SPOOL_WRITE", "auto").lower()
+    task_write = (write_mode == "task"
+                  or (write_mode == "auto" and master_local))
+
+    def _prealloc(path: str) -> None:
+        sp = np.lib.format.open_memmap(
+            path, mode="w+", dtype=np.float64, shape=(n, nf))
+        del sp
+        os.chmod(path, fmode)
+
+    def _count_of(df: DataFrame) -> int:
+        row = df.agg(F.sum("cnt")).collect()[0][0]
+        return int(row or 0)
+
+    # ---- seed spool x0 (the initial iterate) ----
+    cur_path = os.path.join(d, "x0.npy")
+    if task_write:
+        _prealloc(cur_path)
+        wrote = _count_of(items.select(id_col, feat_col).mapInPandas(
+            _make_spool_write_kernel(cur_path, s_path, id_col, feat_col),
+            "cnt long"))
+        if wrote != n:
+            raise RuntimeError(
+                f"diffusion seed spool wrote {wrote} of {n} rows")
+    elif matrix_mod.collect_eligible(spark, n * nf * 8):
+        got_ids, X0 = collect_id_matrix(items, id_col, feat_col)
+        perm = np.argsort(got_ids, kind="stable")
+        sp = np.lib.format.open_memmap(
+            cur_path, mode="w+", dtype=np.float64, shape=(n, nf))
+        sp[:] = X0[perm]
+        sp.flush()
+        del sp, X0
+    else:
+        seed_dir = os.path.join(d, "seed")
+        items.select(id_col, feat_col).write.mode("overwrite").parquet(
+            seed_dir)
+        wrote = _scatter_parquet_to_spool(
+            _part_files(seed_dir), id_col, feat_col, s_ids, nf, cur_path)
+        if wrote != n:
+            raise RuntimeError(
+                f"diffusion seed spool wrote {wrote} of {n} rows")
+        shutil.rmtree(seed_dir, ignore_errors=True)
+    os.chmod(cur_path, fmode)
+
+    # loop-invariant: symmetrized edges hash-partitioned by dst (every
+    # incoming edge of a dst in one partition) in deterministic
+    # (dst, src) order; persisted once, ZERO per-step exchange.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    both = (_symmetrize(edges)
+            .repartition(n_part, "dst")
+            .sortWithinPartitions("dst", "src")
+            .persist())
+    try:
+        n_sym = both.count()
+        if n_sym == 0:
+            # no edges: diffusion is the identity
+            shutil.rmtree(d, ignore_errors=True)
+            if d in matrix_mod._SCRATCH_DIRS:
+                matrix_mod._SCRATCH_DIRS.remove(d)
+            return items.select(id_col, feat_col)
+        global _LAST_DIFFUSE_INFO
+        _LAST_DIFFUSE_INFO = {"tier": "distributed", "plan": "spool",
+                              "n_sym_edges": int(n_sym),
+                              "feat_chunks": 1,
+                              "msg_dtype": str(msg_dtype)}
+        # isolated nodes (no edges at all) never appear as dst OR src;
+        # their rows are the identity under diffusion — captured once
+        # from the seed spool and appended to the final output only
+        # (intermediate spools never read them).
+        dst_arr = (both.select("dst").distinct().toPandas()["dst"]
+                   .to_numpy(np.int64))
+        covered = np.zeros(n, dtype=bool)
+        # positions_of RAISES on a dst absent from items — the same
+        # contract as the driver tier (ADVICE r5), instead of a
+        # silently wrong searchsorted scatter
+        covered[positions_of(dst_arr, s_ids,
+                             np.arange(n, dtype=np.int64))] = True
+        iso_pos = np.where(~covered)[0]
+        n_dst = int(covered.sum())
+        if len(iso_pos):
+            x0 = np.load(cur_path, mmap_mode="r")
+            iso_ids = s_ids[iso_pos].copy()
+            iso_X = np.asarray(x0[iso_pos], dtype=np.float64)
+            del x0
+        step_dir = ""
+        for t in range(int(steps)):
+            t0 = time.time() if step_times is not None else 0.0
+            last = t == int(steps) - 1
+            if last or not task_write:
+                # the FINAL step always emits rows → parquet (that
+                # scan is the returned frame); intermediate steps do
+                # too in stream mode, re-spooled by the driver below
+                step_dir = os.path.join(d, f"step{t + 1}")
+                kernel = _make_spool_step_kernel(
+                    cur_path, s_path, eta, fp32_msgs, id_col, feat_col)
+                (both.mapInPandas(kernel, schema)
+                 .write.mode("overwrite").parquet(step_dir))
+                if not last:
+                    nxt_path = os.path.join(d, f"x{t + 1}.npy")
+                    wrote = _scatter_parquet_to_spool(
+                        _part_files(step_dir), id_col, feat_col, s_ids,
+                        nf, nxt_path)
+                    if wrote != n_dst:
+                        raise RuntimeError(
+                            f"diffusion step {t + 1} spool wrote "
+                            f"{wrote} of {n_dst} rows")
+                    os.chmod(nxt_path, fmode)
+                    os.remove(cur_path)
+                    shutil.rmtree(step_dir, ignore_errors=True)
+                    cur_path = nxt_path
+            else:
+                # task-write: one exchange-free job gathers, updates
+                # AND scatters the next iterate — no parquet, no
+                # driver stream
+                nxt_path = os.path.join(d, f"x{t + 1}.npy")
+                _prealloc(nxt_path)
+                kernel = _make_spool_step_kernel(
+                    cur_path, s_path, eta, fp32_msgs, id_col, feat_col,
+                    out_path=nxt_path)
+                wrote = _count_of(both.mapInPandas(kernel, "cnt long"))
+                if wrote != n_dst:
+                    raise RuntimeError(
+                        f"diffusion step {t + 1} spool wrote {wrote} "
+                        f"of {n_dst} rows")
+                os.remove(cur_path)
+                cur_path = nxt_path
+            if step_times is not None:
+                step_times.append(round(time.time() - t0, 3))
+        # the final step's input spool and the id index are dead now —
+        # only the final step parquet (the returned scan) must outlive
+        # this call; it is reclaimed with the scratch dir at exit.
+        for p in (cur_path, s_path):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        out = spark.read.schema(schema).parquet(step_dir)
+        if len(iso_pos):
+            out = out.unionAll(matrix_to_frame(
+                spark, iso_ids, iso_X, id_col, feat_col))
+        return out
+    finally:
+        both.unpersist()
 
 
 def _diffusion_step_chunked(
@@ -447,8 +838,16 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
       ≈ 1.4M items at F=384): the whole loop is chunked numpy
       gather/segment-sum on the driver — the narrow edge list is a few
       % of X's size, so it fits whenever X does.
-    - distributed tier beyond: per-step `diffusion_step` dataflow with
-      array-carrying edge messages, lineage capped per step.
+    - distributed tier beyond, two physical plans:
+      (a) narrow-shuffle spool plan (default wherever a worker-visible
+      scratch exists, `_diffuse_spool`): the iterate lives in one
+      id-sorted fp64 spool per step, edges are persisted
+      pre-partitioned by dst, and each step is a single exchange-free
+      gather/update job — O(N·F) sequential I/O per step instead of an
+      E·F message shuffle;
+      (b) legacy array-message plan (`diffusion_step` per step,
+      lineage capped per step) — the portable fallback (no scratch, N
+      above the spool ceiling, or SPARK_GRAFT_DIFFUSE_PLAN=shuffle).
 
     `step_times` (bench instrumentation, distributed tier only): pass a
     list and each step is materialized EAGERLY and its wall time
@@ -506,6 +905,36 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
                               "feat_chunks": 1, "n_sym_edges": None}
         return _diffuse_driver(items, edges, eta, steps, id_col, feat_col,
                                out_matrix=out_matrix)
+    # ---- distributed tier ----
+    # message dtype is a property of the TIER, shared by both physical
+    # plans below (the spool plan reproduces the legacy fp32 message
+    # arithmetic in its gather kernel), so resolve + warn once here.
+    if msg_dtype is None:
+        msg_dtype = os.environ.get(
+            "SPARK_GRAFT_DIFFUSE_MSG_DTYPE", "float32")
+        if str(msg_dtype).lower() in ("float32", "fp32", "f32"):
+            # One-time visibility for the tier-boundary precision
+            # cliff (ADVICE r10): the distributed tier defaults to
+            # fp32 messages (≈1e-6 relative error vs fp64, pinned in
+            # tests/test_round10_fixes.py at deg≤topk graphs; very
+            # high-degree graphs can exceed that bound) while the
+            # driver tier is always exact fp64 — an unchanged pipeline
+            # crossing DIFFUSE_BROADCAST_MAX_BYTES shifts results.
+            import warnings
+
+            warnings.warn(
+                "diffuse: distributed tier engaged with default "
+                "float32 messages (≈1e-6 relative error vs the fp64 "
+                "driver tier; set SPARK_GRAFT_DIFFUSE_MSG_DTYPE="
+                "float64 or pass msg_dtype='float64' for the exact "
+                "path)", stacklevel=2)
+    # narrow-shuffle spool plan first (guide §8): zero per-step
+    # exchange where a worker-visible scratch exists; None ⇒ run the
+    # legacy array-message plan below.
+    spooled = _diffuse_spool(items, edges, eta, steps, id_col, feat_col,
+                             nf, n, str(msg_dtype), step_times)
+    if spooled is not None:
+        return spooled
     # loop-invariant across steps: symmetrized edges + degrees, each
     # persisted once instead of re-shuffled E rows per step. The edge
     # list is persisted PRE-PARTITIONED on src (InMemoryRelation keeps
@@ -527,25 +956,6 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
     n_groups = int(min(1 << 16, max(64, -(-n_sym_edges // rows_per_group))))
     deg = both.groupBy(F.col("dst").alias(id_col)).agg(
         F.sum("weight").alias("_deg")).persist()
-    if msg_dtype is None:
-        msg_dtype = os.environ.get(
-            "SPARK_GRAFT_DIFFUSE_MSG_DTYPE", "float32")
-        if str(msg_dtype).lower() in ("float32", "fp32", "f32"):
-            # One-time visibility for the tier-boundary precision
-            # cliff (ADVICE r10): the distributed tier defaults to
-            # fp32 messages (≈1e-6 relative error vs fp64, pinned in
-            # tests/test_round10_fixes.py at deg≤topk graphs; very
-            # high-degree graphs can exceed that bound) while the
-            # driver tier is always exact fp64 — an unchanged pipeline
-            # crossing DIFFUSE_BROADCAST_MAX_BYTES shifts results.
-            import warnings
-
-            warnings.warn(
-                "diffuse: distributed tier engaged with default "
-                "float32 messages (≈1e-6 relative error vs the fp64 "
-                "driver tier; set SPARK_GRAFT_DIFFUSE_MSG_DTYPE="
-                "float64 or pass msg_dtype='float64' for the exact "
-                "path)", stacklevel=2)
     # Feature-block chunking: split any step whose single-stage message
     # shuffle would exceed the per-stage budget (default 16 GiB raw) so
     # peak scratch disk stays bounded regardless of E·F — the N=800k
@@ -559,7 +969,7 @@ def diffuse(items: DataFrame, edges: DataFrame, eta: float, steps: int,
     feat_chunks = max(
         1, -(-(n_sym_edges * nf * msg_val_bytes) // max(chunk_budget, 1)))
     # instrumentation breadcrumb for the measurement harness (private)
-    _LAST_DIFFUSE_INFO = {"tier": "distributed",
+    _LAST_DIFFUSE_INFO = {"tier": "distributed", "plan": "shuffle",
                           "n_sym_edges": int(n_sym_edges),
                           "feat_chunks": int(feat_chunks),
                           "msg_dtype": str(msg_dtype)}

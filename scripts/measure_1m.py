@@ -446,6 +446,8 @@ def _run_dd_phase(spark, big, idx, out: dict, scratch: str) -> None:
                     "feat_chunks"]
                 out[f"diffuse_dist_n_sym_edges{sfx}"] = info[
                     "n_sym_edges"]
+                out[f"diffuse_dist_plan{sfx}"] = info.get(
+                    "plan", "shuffle")
     finally:
         energy_mod.DIFFUSE_BROADCAST_MAX_BYTES = ceil0
 

@@ -76,3 +76,104 @@ def test_gather_diag_hoist_matches_driver_tier(spark):
     edges.unpersist()
     assert np.allclose(lf_gather, lf_driver, rtol=1e-9, atol=1e-9)
     assert float(np.abs(lf_gather).max()) > 0
+
+
+def test_diffuse_spool_plan_matches_driver_and_legacy(spark, monkeypatch):
+    """The narrow-shuffle (spool-gather) distributed diffusion plan
+    must agree with the exact driver tier to fp noise (fp64 messages)
+    and with the legacy array-message plan it replaces; per-step
+    instrumentation still reports one entry per step."""
+    from pyarrowspace_spark.operators import energy as E
+
+    items = _corpus(spark, n=400, f=12, seed=5)
+    gp = GraphParams(eps=0.9, k=6, topk=6, p=2.0)
+    edges = K.knn_edges(items, gp, strategy="exact").persist()
+    a = {r["item_id"]: np.array(r["features"])
+         for r in E.diffuse(items, edges, eta=0.05, steps=3).collect()}
+    assert E._LAST_DIFFUSE_INFO["tier"] == "driver"
+    monkeypatch.setattr(E, "DIFFUSE_BROADCAST_MAX_BYTES", 0)
+    steps_sec: list = []
+    b_df = E.diffuse(items, edges, eta=0.05, steps=3,
+                     msg_dtype="float64", step_times=steps_sec)
+    b = {r["item_id"]: np.array(r["features"]) for r in b_df.collect()}
+    assert E._LAST_DIFFUSE_INFO["plan"] == "spool"
+    assert len(steps_sec) == 3
+    assert set(a) == set(b)
+    for i in a:
+        np.testing.assert_allclose(b[i], a[i], rtol=1e-9)
+    monkeypatch.setenv("SPARK_GRAFT_DIFFUSE_PLAN", "shuffle")
+    c = {r["item_id"]: np.array(r["features"])
+         for r in E.diffuse(items, edges, eta=0.05, steps=3,
+                            msg_dtype="float64").collect()}
+    assert E._LAST_DIFFUSE_INFO["plan"] == "shuffle"
+    edges.unpersist()
+    assert set(c) == set(b)
+    for i in b:
+        np.testing.assert_allclose(c[i], b[i], rtol=1e-9)
+
+
+def test_diffuse_spool_fp32_default_bound(spark, monkeypatch):
+    """Default (fp32-message) spool plan stays within the documented
+    ≈1e-6/step bound of the fp64 driver tier."""
+    from pyarrowspace_spark.operators import energy as E
+
+    items = _corpus(spark, n=300, f=16, seed=9)
+    gp = GraphParams(eps=0.9, k=5, topk=5, p=2.0)
+    edges = K.knn_edges(items, gp, strategy="exact")
+    a = {r["item_id"]: np.array(r["features"])
+         for r in E.diffuse(items, edges, eta=0.1, steps=2).collect()}
+    monkeypatch.setattr(E, "DIFFUSE_BROADCAST_MAX_BYTES", 0)
+    b = {r["item_id"]: np.array(r["features"])
+         for r in E.diffuse(items, edges, eta=0.1, steps=2).collect()}
+    assert E._LAST_DIFFUSE_INFO["plan"] == "spool"
+    assert E._LAST_DIFFUSE_INFO["msg_dtype"] == "float32"
+    assert set(a) == set(b)
+    for i in a:
+        np.testing.assert_allclose(b[i], a[i], rtol=1e-5)
+
+
+def test_diffuse_spool_isolated_nodes_identity(spark, monkeypatch):
+    """Items with no edges at all are the identity under diffusion and
+    must appear unchanged in the spool plan's output (they are
+    appended from the seed spool, never gathered)."""
+    from pyarrowspace_spark.operators import energy as E
+
+    rows = [(i, [float(i + 1), float(2 * i), 0.5]) for i in range(6)]
+    items = spark.createDataFrame(
+        rows, schema="item_id long, features array<double>")
+    edges = spark.createDataFrame(
+        [(0, 1, 0.5), (1, 2, 0.25), (2, 3, 0.75)],
+        schema="src long, dst long, weight double")
+    monkeypatch.setattr(E, "DIFFUSE_BROADCAST_MAX_BYTES", 0)
+    out = {r["item_id"]: np.array(r["features"])
+           for r in E.diffuse(items, edges, eta=0.1, steps=2,
+                              msg_dtype="float64").collect()}
+    assert E._LAST_DIFFUSE_INFO["plan"] == "spool"
+    assert set(out) == set(range(6))
+    for i in (4, 5):
+        np.testing.assert_array_equal(
+            out[i], np.array(rows[i][1], dtype=np.float64))
+    # connected nodes actually moved
+    assert not np.allclose(out[1], rows[1][1])
+
+
+def test_diffuse_spool_stream_write_mode_matches(spark, monkeypatch):
+    """The parquet+driver-stream spool build (the multi-host-safe
+    write mode) produces the same values as the default task-write
+    mode and the driver tier."""
+    from pyarrowspace_spark.operators import energy as E
+
+    items = _corpus(spark, n=250, f=10, seed=21)
+    gp = GraphParams(eps=0.9, k=5, topk=5, p=2.0)
+    edges = K.knn_edges(items, gp, strategy="exact")
+    a = {r["item_id"]: np.array(r["features"])
+         for r in E.diffuse(items, edges, eta=0.05, steps=2).collect()}
+    monkeypatch.setattr(E, "DIFFUSE_BROADCAST_MAX_BYTES", 0)
+    monkeypatch.setenv("SPARK_GRAFT_DIFFUSE_SPOOL_WRITE", "stream")
+    b = {r["item_id"]: np.array(r["features"])
+         for r in E.diffuse(items, edges, eta=0.05, steps=2,
+                            msg_dtype="float64").collect()}
+    assert E._LAST_DIFFUSE_INFO["plan"] == "spool"
+    assert set(a) == set(b)
+    for i in a:
+        np.testing.assert_allclose(b[i], a[i], rtol=1e-9)

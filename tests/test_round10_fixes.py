@@ -179,6 +179,9 @@ def test_diffuse_auto_chunks_under_budget(spark, test0_items_df,
     a = E.diffuse(test0_items_df, edges, eta=0.1, steps=2)
     got_a = {r["item_id"]: np.array(r["features"]) for r in a.collect()}
     monkeypatch.setattr(E, "DIFFUSE_BROADCAST_MAX_BYTES", 0)
+    # chunking is legacy-plan machinery; the r13 spool plan never
+    # approaches the message-shuffle budget (pinned in test_r13opt.py)
+    monkeypatch.setenv("SPARK_GRAFT_DIFFUSE_PLAN", "shuffle")
     monkeypatch.setenv("SPARK_GRAFT_DIFFUSE_CHUNK_MSG_BYTES", "64")
     b = E.diffuse(test0_items_df, edges, eta=0.1, steps=2)
     got_b = {r["item_id"]: np.array(r["features"]) for r in b.collect()}
@@ -202,6 +205,8 @@ def test_diffuse_chunked_matches_driver_at_sf0001(spark, sf_items,
     a = E.diffuse(sf_items, edges, eta=0.05, steps=2)
     got_a = {r["item_id"]: np.array(r["features"]) for r in a.collect()}
     monkeypatch.setattr(E, "DIFFUSE_BROADCAST_MAX_BYTES", 0)
+    # pin the legacy plan: feat_chunks is its machinery (see above)
+    monkeypatch.setenv("SPARK_GRAFT_DIFFUSE_PLAN", "shuffle")
     monkeypatch.setenv("SPARK_GRAFT_DIFFUSE_CHUNK_MSG_BYTES", "200000")
     b = E.diffuse(sf_items, edges, eta=0.05, steps=2)
     got_b = {r["item_id"]: np.array(r["features"]) for r in b.collect()}
