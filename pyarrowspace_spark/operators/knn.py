@@ -898,7 +898,21 @@ def _pairwise_candidates_lsh(
     def _group_pairs(src_frame: DataFrame) -> DataFrame:
         h2 = src_frame.join(F.broadcast(oversized), ["band", "key"], "left")
         normal = h2.filter(F.col("_cnt").isNull()).drop("_cnt")
-        bucket_pairs = normal.groupBy("band", "key").applyInPandas(
+        # Explicit (band, key) exchange feeding the bucket kernel —
+        # same reason as the src repartitions below: the narrow plan's
+        # hash rows compress to tens of MB, and AQE's advisory
+        # coalescing collapsed the kernel's implicit groupBy exchange
+        # to 5 partitions at the 78k bench — the build's CORE compute
+        # stage (gather + gemm per bucket) ran 5-wide while 27 cores
+        # idled (r13-opt, SQL exec 4: AQEShuffleRead(5) → Sort →
+        # FlatMapGroupsInPandas). A user-specified repartition is not
+        # coalescible, and the groupBy reuses it (same keys, same
+        # count), so the plan still has exactly one exchange here.
+        n_parts_b = int(src_frame.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
+        bucket_pairs = normal.repartition(
+            n_parts_b, "band", "key"
+        ).groupBy("band", "key").applyInPandas(
             bucket_knn, schema=pair_schema)
         big = h2.filter(F.col("_cnt").isNotNull())
         nblocks = F.ceil(F.col("_cnt") / F.lit(b_max)).cast("int")
@@ -918,6 +932,8 @@ def _pairwise_candidates_lsh(
             .select("band", "key", F.col("_bp.b1").alias("b1"),
                     F.col("_bp.b2").alias("b2"), "id",
                     *([] if narrow else ["uvec"]))
+            # same AQE-coalesce guard as the normal-bucket kernel above
+            .repartition(n_parts_b, "band", "key", "b1", "b2")
             .groupBy("band", "key", "b1", "b2")
             .applyInPandas(bucket_knn, schema=pair_schema)
         )

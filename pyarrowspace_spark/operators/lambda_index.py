@@ -559,12 +559,20 @@ def feature_laplacian(
             if e_scan.rdd.getNumPartitions() > max_workers:
                 e_scan = e_scan.coalesce(max_workers)
         try:
-            parts = e_scan.mapInPandas(
-                edge_partials, schema=schema).collect()
+            # Arrow fetch, not .collect(): the result is P×F² scalar
+            # rows (32×147,456 = 4.7M at F=384) and the row path paid
+            # ~27 s of driver pickle.loads + Row construction per build
+            # (cProfile, r13-opt) plus the executors' row
+            # serialization. toPandas under the session's Arrow flag
+            # moves the same doubles in the same partition order as
+            # columnar batches; the reshape+sum below sees an identical
+            # array, so L_F is bit-identical.
+            parts_pdf = e_scan.mapInPandas(
+                edge_partials, schema=schema).toPandas()
         finally:
             # free the JVM/disk/worker copies eagerly — the tier is
             # done. The .npy spool dies HERE, not at session exit
-            # (collect() is eager, so unlike matrix_to_frame's lazy
+            # (toPandas() is eager, so unlike matrix_to_frame's lazy
             # scans nothing can re-read it; leaving it would stack a
             # 6 GB corpse per build on the scratch disk).
             if b_X is not None:
@@ -577,7 +585,7 @@ def feature_laplacian(
                 _shutil.rmtree(d, ignore_errors=True)
                 if d in matrix_mod._SCRATCH_DIRS:
                     matrix_mod._SCRATCH_DIRS.remove(d)
-        flat = np.array([r["partial"] for r in parts], dtype=np.float64)
+        flat = parts_pdf["partial"].to_numpy(dtype=np.float64)
         lf = flat.reshape(-1, fdim, fdim).sum(axis=0) + diag
         return (lf + lf.T) / 2.0
 
@@ -621,9 +629,13 @@ def feature_laplacian(
             acc += (xa * w[:, None]).T @ xb
         yield pd.DataFrame({"partial": acc.ravel()})
 
-    parts = combined.mapInPandas(accumulate, schema=schema).collect()
-    n_parts = len(parts) // (Fdim * Fdim)
-    flat = np.array([r["partial"] for r in parts], dtype=np.float64)
+    # Arrow fetch (same reasoning as the gather tier above): P×F²
+    # scalar rows through the pickled-row path cost ~27 s/build of
+    # driver-side deserialization at P=32; at this tier's scale P can
+    # be thousands. Identical doubles in identical partition order.
+    parts_pdf = combined.mapInPandas(accumulate, schema=schema).toPandas()
+    flat = parts_pdf["partial"].to_numpy(dtype=np.float64)
+    n_parts = len(flat) // (Fdim * Fdim)
     mats = flat.reshape(n_parts, Fdim, Fdim)
     lf = mats.sum(axis=0)
     # Numerically symmetrize (exact math is symmetric already).
