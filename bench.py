@@ -495,6 +495,13 @@ def main() -> None:
                 # round step-time comparisons need the dtype pinned
                 extra["diffuse_msg_dtype"] = os.environ.get(
                     "SPARK_GRAFT_DIFFUSE_MSG_DTYPE", "float32")
+                # r14 (VERDICT r13 item 3): record WHICH physical plan
+                # the distributed tier ran (spool vs legacy shuffle) —
+                # the spool plan's bench-contract speedup claim needs
+                # the artifact to say the spool actually engaged.
+                info = getattr(energy_mod, "_LAST_DIFFUSE_INFO", None) or {}
+                extra["diffuse_plan"] = info.get("plan", info.get("tier"))
+                extra["diffuse_tier"] = info.get("tier")
             finally:
                 energy_mod.DIFFUSE_BROADCAST_MAX_BYTES = ceil0
 

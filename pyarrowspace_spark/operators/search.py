@@ -138,14 +138,13 @@ def search_ann(
     build's (e_raw, g) columns, so item λ at the caller's τ is a JVM
     expression over the candidate rows only.
     """
-    from .lambda_index import blend_lambda_cols
+    import pandas as pd
+
+    from .lambda_index import _lambda_kernel
     from .simsearch import planes_fingerprint, with_lsh_buckets
 
     n_tables, n_planes = planes.shape[0], planes.shape[1]
-    q_lam = with_lambda(
-        queries.select(query_id_col, feat_col),
-        lf, tau, feat_col=feat_col, out_col="q_lambda",
-    ).select(query_id_col, F.col(feat_col).alias("q_features"), "q_lambda")
+    spark = index.sparkSession
 
     # Hash-once contract: if the caller pre-bucketed the corpus (one
     # `with_lsh_buckets` pass persisted at index time), reuse it — a
@@ -178,56 +177,99 @@ def search_ann(
     else:
         hashed = with_lsh_buckets(
             index.select(id_col, feat_col, "e_raw", "g"), planes, feat_col)
-    # Precompute the item-side norm and λ(τ) ONCE per item BEFORE the
-    # table posexplode (guide §2.3, project/derive before the fan-out):
-    # the old plan evaluated l2_norm(features) and the λ blend per
-    # CANDIDATE row — every item × table × probe hit re-ran the same
-    # 384-element fold. Same expressions over the same input arrays →
-    # bit-identical scores.
-    it = hashed.withColumn("_xn", V.l2_norm(feat_col)).withColumn(
-        "_xl", blend_lambda_cols(F.col("e_raw"), F.col("g"), tau)
-    ).select(
-        id_col, feat_col, "_xn", "_xl",
+
+    # Query side DRIVER-SIDE (guide §1.2 / r14): queries are
+    # interactive-scale (the serving contract — never N-sized), so the
+    # λ pass, the bucket hash, and the Hamming-1 probe enumeration are
+    # a few numpy ops on the driver instead of three Python-worker
+    # jobs + a posexplode/explode subtree under the broadcast. The
+    # arithmetic is the exact op sequence the distributed twins apply:
+    # `_lambda_kernel` IS with_lambda's kernel, and the bucket gemm is
+    # `with_lsh_buckets`' float64 X @ H.T > 0 fold.
+    qrows = queries.select(query_id_col, feat_col).collect()
+    out_schema = (f"{query_id_col} long, {id_col} long, "
+                  "score double")
+    if not qrows:
+        empty = spark.createDataFrame([], out_schema + ", rank int")
+        return empty
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    _, _, q_lam = _lambda_kernel(Q, lf, float(tau))
+    q_norm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    H = planes.reshape(n_tables * n_planes, planes.shape[-1])
+    signs = (Q @ H.T) > 0
+    pow2 = (2 ** np.arange(n_planes)).astype(np.int64)
+    q_buckets = (signs.reshape(len(qids), n_tables, n_planes)
+                 * pow2).sum(axis=2)
+    probe_rows = []
+    for qi in range(len(qids)):
+        for t in range(n_tables):
+            b = int(q_buckets[qi, t])
+            probes = [b] + ([b ^ (1 << j) for j in range(n_planes)]
+                            if probe_hamming1 else [])
+            probe_rows.extend(
+                (int(t), p, int(qids[qi])) for p in probes)
+    probe_df = spark.createDataFrame(
+        probe_rows, f"t int, bucket long, {query_id_col} long")
+
+    # Candidate generation: ONE corpus pass — posexplode the bucket
+    # columns and probe the broadcast (t, bucket, query) table. No
+    # per-row HOF anywhere on the corpus side.
+    it = hashed.select(
+        id_col, feat_col, "e_raw", "g",
         F.posexplode(F.array(*[f"bucket_{t}" for t in range(n_tables)]))
         .alias("t", "bucket"),
     )
-    qu = with_lsh_buckets(
-        q_lam.select(query_id_col,
-                     F.col("q_features").alias(feat_col), "q_lambda"),
-        planes, feat_col,
-    ).withColumn("_qn", V.l2_norm(feat_col)).select(
-        query_id_col, F.col(feat_col).alias("q_features"), "q_lambda",
-        "_qn",
-        F.posexplode(F.array(*[f"bucket_{t}" for t in range(n_tables)]))
-        .alias("t", "bucket"),
-    )
-    if probe_hamming1:
-        qu = qu.select(
-            query_id_col, "q_features", "q_lambda", "_qn", "t",
-            F.explode(F.array(
-                F.col("bucket"),
-                *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
-                  for j in range(n_planes)],
-            )).alias("bucket"),
-        )
-    # Score BEFORE deduplicating (guide §2.3 "shuffle fewer bytes"):
-    # duplicate (query, item) hits carry identical inputs → identical
-    # scores, so dedupe via groupBy/max over (query_id, item_id, score)
-    # shuffles 24-byte rows instead of the old dropDuplicates' 2×F
-    # double arrays per candidate (~6 KB/row), and the agg combines
-    # map-side. cosine = dot/( _qn·_xn ) is the same expression tree
-    # cosine_similarity builds — same operand order, bit-identical.
-    cands = it.join(F.broadcast(qu), ["t", "bucket"])
-    scored = cands.select(
-        query_id_col, id_col,
-        V.blended_score(
-            V.dot("q_features", feat_col)
-            / (F.col("_qn") * F.col("_xn")),
-            F.col("q_lambda"),
-            F.col("_xl"),
-            tau,
-        ).alias("score"),
-    ).groupBy(query_id_col, id_col).agg(F.max("score").alias("score"))
+    cands = it.join(F.broadcast(probe_df), ["t", "bucket"]).select(
+        query_id_col, id_col, feat_col, "e_raw", "g")
+
+    # Rescore in ONE vectorized Arrow kernel (guide §4.2): the r13
+    # expression scoring was measured at ~5 ms/candidate-row — the
+    # interpreted zip_with+aggregate dot fold, ~1,430 CPU-seconds for
+    # 50 queries at the 78k bench corpus (the r13 verdict's 32-core
+    # "ANN serving blowup" was exactly this stage saturating all
+    # cores). The same math as whole-batch numpy is ~100× cheaper;
+    # summation order changes (pairwise vs sequential fold, ~1e-13 on
+    # unit-scale scores), absorbed by the 5-6 decimal rounding every
+    # declared query applies — re-verified against the DuckDB oracle.
+    bq = spark.sparkContext.broadcast(
+        {"qids": qids, "Q": Q, "lam": q_lam, "qn": q_norm})
+    t_f = float(tau)
+
+    def _score_batches(batches):
+        qv = bq.value
+        order = np.argsort(qv["qids"], kind="stable")
+        sq = qv["qids"][order]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[feat_col].to_numpy()).astype(np.float64)
+            qpos = order[np.searchsorted(sq, pdf[query_id_col]
+                                         .to_numpy(np.int64))]
+            Qs = qv["Q"][qpos]
+            dots = np.einsum("ij,ij->i", Qs, X)
+            xn = np.sqrt(np.einsum("ij,ij->i", X, X))
+            cos = dots / (qv["qn"][qpos] * xn)
+            e = pdf["e_raw"].to_numpy(np.float64)
+            g = pdf["g"].to_numpy(np.float64)
+            xl = t_f * (e / (e + t_f)) + (1.0 - t_f) * g
+            score = (t_f * cos
+                     + (1.0 - t_f)
+                     / (1.0 + np.abs(qv["lam"][qpos] - xl)))
+            yield pd.DataFrame({
+                query_id_col: pdf[query_id_col].to_numpy(np.int64),
+                id_col: pdf[id_col].to_numpy(np.int64),
+                "score": score,
+            })
+
+    # Dedupe duplicate (query, item) probe hits AFTER scoring — the
+    # duplicates carry identical inputs → identical doubles, so
+    # max == the value and the agg shuffles 24-byte rows map-side
+    # (guide §2.3); measured duplicate factor at the bench corpus is
+    # only 1.09×, so scoring-before-dedupe costs ~9% extra kernel work
+    # and saves a full-width pre-shuffle.
+    scored = cands.mapInPandas(_score_batches, out_schema).groupBy(
+        query_id_col, id_col).agg(F.max("score").alias("score"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )

@@ -86,6 +86,14 @@ def main() -> None:
 
     hashed_mem = spark.read.parquet(saved_dir).persist()
     timed("cache_materialize", lambda: hashed_mem.count())
+    print("[probe] mem partitions:", hashed_mem.rdd.getNumPartitions())
+    # bench-lineage suspect: a cache with FEW partitions serializes the
+    # whole corpus-side pipeline (HOF norms + posexplode + probe join)
+    hashed_mem1 = spark.read.parquet(saved_dir).repartition(1).persist()
+    timed("cache1_materialize", lambda: hashed_mem1.count())
+    timed("mem1_50q", lambda: search_ann(
+        hashed_mem1, lf, qdf50, tau=0.62, k=15, planes=planes).collect())
+    hashed_mem1.unpersist()
     timed("mem_1q_cold", lambda: search_ann(
         hashed_mem, lf, qdf1, tau=0.62, k=15, planes=planes).collect())
     timed("mem_1q", lambda: search_ann(
