@@ -1317,17 +1317,52 @@ def q_build_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
                    else lab.when(cond, F.lit(f"{v:g}")))
         return lab
 
-    gs = _melt_diag(q_graph_sparsity(spark, sf_dir), "graph_sparsity", [
+    # r14 (§2.6 "overlap independent jobs"): the sections with EAGER
+    # driver-side actions — TwoNN collect (intrinsic_dim), the 'auto'
+    # witness build (auto_params), and the shared-index sparsity row —
+    # used to run back-to-back on the driver, each under-using the
+    # executors (measured 18.5 s construction ≈ the serial sum).
+    # They are independent jobs, so submit them from a small thread
+    # pool; each still runs the IDENTICAL dataflow (same rows, same
+    # doubles). The shared index is materialized once BEFORE the pool
+    # (the _get_index memo is not thread-safe to fill concurrently).
+    from concurrent.futures import ThreadPoolExecutor
+
+    _get_index(spark, sf_dir)
+    el = _lbl("eps", EPS_SWEEP)
+    tl = _lbl("tau", TAU_SWEEP)
+    with ThreadPoolExecutor(max_workers=6) as _pool:
+        _f_gs = _pool.submit(
+            lambda: q_graph_sparsity(spark, sf_dir).first())
+        _f_idim = _pool.submit(q_intrinsic_dim, spark, sf_dir)
+        _f_ap = _pool.submit(q_auto_params, spark, sf_dir)
+        _f_sp = _pool.submit(q_suggest_params, spark, sf_dir)
+        _f_es = _pool.submit(q_eps_sweep, spark, sf_dir)
+        _f_ts = _pool.submit(q_tau_sweep, spark, sf_dir)
+        gsrow = _f_gs.result()
+        idim_df = _f_idim.result()
+        ap_df = _f_ap.result()
+        sp_df = _f_sp.result()
+        es_df = _f_es.result()
+        ts_df = _f_ts.result()
+    # ONE graph_sparsity execution feeds both the melted section and
+    # the diffuse_plan arithmetic below (it ran twice before) — the
+    # literal frame carries the identical row.
+    gs_df = spark.createDataFrame(
+        [(int(gsrow["n_items"]), int(gsrow["n_edges"]),
+          float(gsrow["sparsity_r"]))],
+        "n_items long, n_edges long, sparsity_r double")
+    gs = _melt_diag(gs_df, "graph_sparsity", [
         ("n_items", F.col("n_items")),
         ("n_edges", F.col("n_edges")),
         ("sparsity", F.col("sparsity_r")),
     ])
-    idim = _melt_diag(q_intrinsic_dim(spark, sf_dir), "intrinsic_dim", [
+    idim = _melt_diag(idim_df, "intrinsic_dim", [
         ("n_used", F.col("n_used")),
         ("id_mle", F.col("id_mle_r")),
         ("auto_k", F.col("auto_k")),
     ])
-    sp = _melt_diag(q_suggest_params(spark, sf_dir), "suggest_params", [
+    sp = _melt_diag(sp_df, "suggest_params", [
         ("n", F.col("n")),
         ("id_mle", F.col("id_mle_r")),
         ("d_used", F.col("d_used")),
@@ -1344,17 +1379,15 @@ def q_build_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n_zero_vectors", F.col("n_zero_vectors")),
         ("n_nonfinite", F.col("n_nonfinite")),
     ])
-    el = _lbl("eps", EPS_SWEEP)
-    es = _melt_diag(q_eps_sweep(spark, sf_dir), "eps_sweep", [
+    es = _melt_diag(es_df, "eps_sweep", [
         (F.concat(F.lit("n_edges@"), el), F.col("n_edges")),
         (F.concat(F.lit("avg_degree@"), el), F.col("avg_degree_r")),
         (F.concat(F.lit("sparsity@"), el), F.col("sparsity_r")),
     ])
-    tl = _lbl("tau", TAU_SWEEP)
-    ts = _melt_diag(q_tau_sweep(spark, sf_dir), "tau_sweep", [
+    ts = _melt_diag(ts_df, "tau_sweep", [
         (F.concat(F.lit("avg_ndcg@"), tl), F.col("avg_ndcg_r")),
     ])
-    ap = _melt_diag(q_auto_params(spark, sf_dir), "auto_params", [
+    ap = _melt_diag(ap_df, "auto_params", [
         ("n", F.col("n")),
         ("k", F.col("k")),
         ("eps_raw", F.col("eps_raw_r")),
@@ -1369,7 +1402,6 @@ def q_build_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # env-backed budgets; the oracle replays the same formulas.
     from pyarrowspace_spark.operators import energy as EN
 
-    gsrow = q_graph_sparsity(spark, sf_dir).first()
     nf = _items(spark, sf_dir).select(
         F.size("features").alias("nf")).first()["nf"]
     plan = EN.diffuse_plan(

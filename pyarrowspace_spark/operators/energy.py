@@ -176,6 +176,34 @@ def _load_x_spool(x_path: str, s_path: str):
     return ent
 
 
+def _make_spool_read_kernel(x_path: str, s_path: str, pos_path: str,
+                            n_chunks: int, id_col: str, feat_col: str):
+    """mapInPandas kernel over `spark.range(0, n_chunks, 1, n_chunks)`
+    that emits the spool rows at the saved positions, chunk i taking
+    the i-th contiguous slice — the distributed read-back of a
+    task-written final iterate (single-host masters; the writers'
+    pages are still in cache, so this is a memory copy, not I/O)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        X = np.load(x_path, mmap_mode="r")
+        s_ids = np.load(s_path)
+        pos = np.load(pos_path)
+        per = -(-len(pos) // max(n_chunks, 1))
+        for pdf in batches:
+            for cid in pdf["id"].to_numpy(np.int64):
+                sl = pos[cid * per:(cid + 1) * per]
+                if not len(sl):
+                    continue
+                yield pd.DataFrame({
+                    id_col: s_ids[sl],
+                    feat_col: list(np.asarray(X[sl], dtype=np.float64)),
+                })
+
+    return kernel
+
+
 def _make_spool_write_kernel(x_path: str, s_path: str, id_col: str,
                              feat_col: str):
     """mapInPandas kernel that scatters its rows of (id, features)
@@ -483,10 +511,10 @@ def _diffuse_spool(items: DataFrame, edges: DataFrame, eta: float,
         for t in range(int(steps)):
             t0 = time.time() if step_times is not None else 0.0
             last = t == int(steps) - 1
-            if last or not task_write:
-                # the FINAL step always emits rows → parquet (that
-                # scan is the returned frame); intermediate steps do
-                # too in stream mode, re-spooled by the driver below
+            if not task_write:
+                # stream mode: every step emits rows → parquet; the
+                # FINAL parquet is the returned frame, intermediate
+                # ones are re-spooled by the driver below
                 step_dir = os.path.join(d, f"step{t + 1}")
                 kernel = _make_spool_step_kernel(
                     cur_path, s_path, eta, fp32_msgs, id_col, feat_col)
@@ -508,7 +536,12 @@ def _diffuse_spool(items: DataFrame, edges: DataFrame, eta: float,
             else:
                 # task-write: one exchange-free job gathers, updates
                 # AND scatters the next iterate — no parquet, no
-                # driver stream
+                # driver stream. r14: the FINAL step too — it used to
+                # emit rows → parquet (~N·F·8 B written + re-read;
+                # measured 13.7 s vs 3.0 s for the task-write step at
+                # the 78k bench on a 20 MB/s-disk window, §6); the
+                # returned frame is now a chunked reader over the
+                # final spool (page-cache-warm from the writers).
                 nxt_path = os.path.join(d, f"x{t + 1}.npy")
                 _prealloc(nxt_path)
                 kernel = _make_spool_step_kernel(
@@ -523,15 +556,32 @@ def _diffuse_spool(items: DataFrame, edges: DataFrame, eta: float,
                 cur_path = nxt_path
             if step_times is not None:
                 step_times.append(round(time.time() - t0, 3))
-        # the final step's input spool and the id index are dead now —
-        # only the final step parquet (the returned scan) must outlive
-        # this call; it is reclaimed with the scratch dir at exit.
-        for p in (cur_path, s_path):
-            try:
-                os.remove(p)
-            except OSError:
-                pass
-        out = spark.read.schema(schema).parquet(step_dir)
+        if task_write:
+            # returned frame = distributed chunked read of the final
+            # spool (only dst-covered positions; iso rows appended
+            # below, as in stream mode). The spool + index files live
+            # until the scratch dir is reclaimed at exit — the same
+            # lifetime the returned step parquet had.
+            pos_path = os.path.join(d, "outpos.npy")
+            np.save(pos_path, np.where(covered)[0].astype(np.int64))
+            os.chmod(pos_path, fmode)
+            n_part_rd = max(1, min(n_part, n_dst))
+            out = (spark.range(0, n_part_rd, 1, n_part_rd)
+                   .mapInPandas(
+                       _make_spool_read_kernel(
+                           cur_path, s_path, pos_path, n_part_rd,
+                           id_col, feat_col),
+                       schema))
+        else:
+            # the final step's input spool and the id index are dead
+            # now — only the final step parquet (the returned scan)
+            # must outlive this call; reclaimed with the scratch dir.
+            for p in (cur_path, s_path):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            out = spark.read.schema(schema).parquet(step_dir)
         if len(iso_pos):
             out = out.unionAll(matrix_to_frame(
                 spark, iso_ids, iso_X, id_col, feat_col))
